@@ -1,0 +1,190 @@
+"""Packing reads into fixed-shape code batches for the TPU kernels.
+
+The TPU-native analog of the reference's per-barcode concatenated strings
+(count_kmer.cpp:199): reads become rows of a dense (R, L) uint8 code matrix
+(A=0,C=1,T=2,G=3, 4=N/pad) with
+
+- ``lengths``: per-row read length,
+- ``seg_ids``: per-row barcode-group index (-1 for dropped groups/padding),
+- ``cont``: 1 for continuation rows of reads longer than L, which repeat
+  the previous row's last ``overlap`` bases so no k-mer window is lost or
+  double-counted (see kernels/encode.kmer_window_values).
+
+Because the reference scans each barcode's reads as one concatenated
+N-separated string, per-read windows are exactly equivalent: k-mers never
+span reads.
+
+Fixed shapes keep a single XLA compilation per batch geometry; the last
+batch of a chunk is padded with seg_id=-1 / length=0 rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from pangaea_tpu.io.grouping import ReadPair, group_kept
+from pangaea_tpu.kernels.encode import encode_bases
+
+
+@dataclass
+class PackedBatch:
+    codes: np.ndarray     # (R, L) uint8
+    lengths: np.ndarray   # (R,) int32
+    seg_ids: np.ndarray   # (R,) int32, -1 = dropped/padding
+    cont: np.ndarray      # (R,) uint8
+
+
+@dataclass
+class GroupChunk:
+    """A run of complete barcode groups plus their packed read batches.
+
+    ``names[g]`` is the barcode of local group g; batches use seg ids
+    relative to this chunk (0..num_groups-1).
+    """
+    names: List[str]
+    batches: List[PackedBatch]
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.names)
+
+
+def _encode_with_qual(seq: str, qual: str, min_qual: Optional[int]) -> np.ndarray:
+    codes = encode_bases(seq.encode("ascii"))
+    if min_qual is not None and qual:
+        q = np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
+        codes = np.where(q[: len(codes)] < min_qual, np.uint8(4), codes)
+    return codes
+
+
+def _split_rows(codes: np.ndarray, max_len: int, overlap: int
+                ) -> List[Tuple[np.ndarray, int]]:
+    """Split an encoded read into (row_codes, is_continuation) rows."""
+    n = len(codes)
+    if n <= max_len:
+        return [(codes, 0)]
+    rows = []
+    step = max_len - overlap
+    start = 0
+    first = True
+    while start < n:
+        piece = codes[start:start + max_len]
+        if not first and len(piece) <= overlap:
+            break  # fully contained in the previous row
+        rows.append((piece, 0 if first else 1))
+        if start + max_len >= n:
+            break
+        start += step
+        first = False
+    return rows
+
+
+class _BatchBuilder:
+    def __init__(self, rows_per_batch: int, max_len: int):
+        self.R, self.L = rows_per_batch, max_len
+        self._reset()
+
+    def _reset(self):
+        self.codes = np.full((self.R, self.L), 4, dtype=np.uint8)
+        self.lengths = np.zeros(self.R, dtype=np.int32)
+        self.seg_ids = np.full(self.R, -1, dtype=np.int32)
+        self.cont = np.zeros(self.R, dtype=np.uint8)
+        self.n = 0
+
+    def add_row(self, row: np.ndarray, seg: int, is_cont: int) -> Optional[PackedBatch]:
+        out = None
+        if self.n == self.R:
+            out = self.flush()
+        i = self.n
+        self.codes[i, : len(row)] = row
+        self.lengths[i] = len(row)
+        self.seg_ids[i] = seg
+        self.cont[i] = is_cont
+        self.n += 1
+        return out
+
+    def flush(self) -> Optional[PackedBatch]:
+        if self.n == 0:
+            return None
+        b = PackedBatch(self.codes, self.lengths, self.seg_ids, self.cont)
+        self._reset()
+        return b
+
+
+class ReadPacker:
+    """Packs a flat sequence stream (global-count pass; all reads count,
+    matching jellyfish over the whole file — src/feature.py:76-94)."""
+
+    def __init__(self, max_read_len: int = 256, overlap: int = 14,
+                 reads_per_batch: int = 65536,
+                 min_qual_char: Optional[str] = None):
+        self.max_len = max_read_len
+        self.overlap = overlap
+        self.rows = reads_per_batch
+        self.min_qual = ord(min_qual_char) if min_qual_char else None
+
+    def iter_batches(self, seqs: Iterable[Tuple[str, str]]) -> Iterator[PackedBatch]:
+        """seqs yields (seq, qual) tuples; qual may be ""."""
+        bb = _BatchBuilder(self.rows, self.max_len)
+        for seq, qual in seqs:
+            codes = _encode_with_qual(seq, qual, self.min_qual)
+            for row, is_cont in _split_rows(codes, self.max_len, self.overlap):
+                out = bb.add_row(row, 0, is_cont)
+                if out is not None:
+                    yield out
+        out = bb.flush()
+        if out is not None:
+            yield out
+
+
+class GroupPacker:
+    """Packs (barcode, pairs) groups into chunks of complete groups.
+
+    Groups failing the reference filter (empty barcode or concatenated
+    length <= min_len, count_kmer.cpp:62-63) are dropped entirely — their
+    reads never reach the device.
+    """
+
+    def __init__(self, min_len: int = 2000, max_read_len: int = 256,
+                 overlap: int = 14, reads_per_batch: int = 65536,
+                 groups_per_chunk: int = 8192):
+        self.min_len = min_len
+        self.max_len = max_read_len
+        self.overlap = overlap
+        self.rows = reads_per_batch
+        self.groups_per_chunk = groups_per_chunk
+
+    def iter_chunks(self, groups: Iterable[Tuple[str, List[ReadPair]]]
+                    ) -> Iterator[GroupChunk]:
+        names: List[str] = []
+        batches: List[PackedBatch] = []
+        bb = _BatchBuilder(self.rows, self.max_len)
+
+        def close_chunk():
+            nonlocal names, batches, bb
+            tail = bb.flush()
+            if tail is not None:
+                batches.append(tail)
+            chunk = GroupChunk(names, batches)
+            names, batches = [], []
+            return chunk
+
+        for barcode, group in groups:
+            if not group_kept(barcode, group, self.min_len):
+                continue
+            if len(names) == self.groups_per_chunk:
+                yield close_chunk()
+            seg = len(names)
+            names.append(barcode)
+            for p in group:
+                for seq in (p.seq1, p.seq2):
+                    codes = encode_bases(seq.encode("ascii"))
+                    for row, is_cont in _split_rows(codes, self.max_len, self.overlap):
+                        out = bb.add_row(row, seg, is_cont)
+                        if out is not None:
+                            batches.append(out)
+        if names or bb.n:
+            yield close_chunk()

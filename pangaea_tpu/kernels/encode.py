@@ -1,0 +1,150 @@
+"""2-bit nucleotide encoding and canonical k-mer math (XLA-friendly).
+
+Behavior contract (reference count_kmer.cpp / count_tnf.cpp):
+
+- base code = ``(ascii >> 1) & 3`` for A/C/G/T (count_kmer.cpp:81), i.e.
+  A=0, C=1, T=2, G=3. Any other character resets the rolling k-mer
+  (count_kmer.cpp:73-78). We use code 4 for "invalid" (N / pad / masked).
+- k-mer value = big-endian base-4 integer of the codes (count_kmer.cpp:79-82).
+- reverse complement = reverse the 2-bit groups and XOR 0b10 into each
+  (count_kmer.cpp:11-21); with this code table complement(x) = x ^ 2.
+- canonical k-mer = min(value, revcomp(value)) (count_kmer.cpp:86).
+
+Everything here is pure jnp (vectorized over read batches) so XLA can fuse
+it into the downstream gather/scatter kernels; the same functions run on
+the TPU and on the CPU backend for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# Host-side ASCII -> code lookup (uint8). 4 = invalid.
+_ENC_LUT = np.full(256, 4, dtype=np.uint8)
+for _b in b"ACGT":
+    _ENC_LUT[_b] = (_b >> 1) & 3
+INVALID_CODE = np.uint8(4)
+
+
+def encode_bases(seq: bytes | np.ndarray) -> np.ndarray:
+    """Encode an ASCII sequence to uint8 codes (A=0,C=1,T=2,G=3, else 4)."""
+    if isinstance(seq, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(seq, dtype=np.uint8)
+    else:
+        arr = np.asarray(seq, dtype=np.uint8)
+    return _ENC_LUT[arr]
+
+
+def revcomp_kmers(vals: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Reverse complement of packed k-mer values, k <= 16.
+
+    32-bit variant of the 64-bit bit-twiddle at count_kmer.cpp:11-21:
+    reverse all 2-bit groups in the 32-bit word, complement every group
+    (XOR 0xAAAAAAAA), then shift the k meaningful groups down.
+    """
+    assert k <= 16, "use the 64-bit path for k > 16"
+    x = vals.astype(jnp.uint32)
+    x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = (x >> 16) | (x << 16)
+    x = x ^ jnp.uint32(0xAAAAAAAA)
+    return (x >> (2 * (16 - k))).astype(vals.dtype)
+
+
+def revcomp_kmers_np(vals: np.ndarray, k: int) -> np.ndarray:
+    """NumPy twin of :func:`revcomp_kmers` (host-side LUT construction)."""
+    assert k <= 16
+    x = np.asarray(vals, dtype=np.uint32)
+    x = ((x >> 2) & np.uint32(0x33333333)) | ((x & np.uint32(0x33333333)) << 2)
+    x = ((x >> 4) & np.uint32(0x0F0F0F0F)) | ((x & np.uint32(0x0F0F0F0F)) << 4)
+    x = ((x >> 8) & np.uint32(0x00FF00FF)) | ((x & np.uint32(0x00FF00FF)) << 8)
+    x = (x >> 16) | (x << 16)
+    x = x ^ np.uint32(0xAAAAAAAA)
+    return (x >> np.uint32(2 * (16 - k))).astype(np.asarray(vals).dtype)
+
+
+def canonical_kmers(vals: jnp.ndarray, k: int) -> jnp.ndarray:
+    """min(value, revcomp(value)) — count_kmer.cpp:86."""
+    return jnp.minimum(vals, revcomp_kmers(vals, k))
+
+
+def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                       win_skip: jnp.ndarray | None = None):
+    """All k-mer window values of a read batch, with validity mask.
+
+    Args:
+      codes: (R, L) uint8 base codes; 4 marks N / pad / quality-masked.
+      lengths: (R,) int32 read lengths.
+      k: k-mer length (<= 15 so values fit int32).
+      win_skip: optional (R,) int32 — windows starting before this offset
+        are invalid. Used for reads split across rows with overlap: a
+        continuation row repeats the last ``overlap`` bases of its
+        predecessor, so for a k' < overlap+1 kernel the first
+        ``overlap-(k'-1)`` windows were already counted by the previous row.
+
+    Returns:
+      vals:  (R, L-k+1) int32 forward k-mer values (garbage where invalid).
+      valid: (R, L-k+1) bool — window is fully in-read and all-ACGT. This
+        reproduces the reference's rolling reset on non-ACGT characters
+        (count_kmer.cpp:73-78): a window containing any invalid base is
+        skipped, which also prevents k-mers from spanning the per-read 'N'
+        separators of the concatenated barcode string (count_kmer.cpp:199).
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    assert W >= 1, f"max_read_len {L} < k {k}"
+    c = codes.astype(jnp.int32)
+    safe = jnp.where(c < 4, c, 0)
+    acc = jnp.zeros((R, W), dtype=jnp.int32)
+    for j in range(k):
+        acc = (acc << 2) | jax_slice(safe, j, W)
+    invalid = (c >= 4).astype(jnp.int32)
+    csum = jnp.cumsum(invalid, axis=1)
+    # bad(i) = number of invalid codes in [i, i+k)
+    upper = csum[:, k - 1:]
+    lower = jnp.pad(csum, ((0, 0), (1, 0)))[:, :W]
+    bad = upper - lower
+    starts = jnp.arange(W, dtype=jnp.int32)[None, :]
+    in_read = starts + k <= lengths[:, None].astype(jnp.int32)
+    valid = (bad == 0) & in_read
+    if win_skip is not None:
+        valid = valid & (starts >= win_skip[:, None].astype(jnp.int32))
+    return acc, valid
+
+
+def jax_slice(x: jnp.ndarray, start: int, width: int) -> jnp.ndarray:
+    return x[:, start:start + width]
+
+
+@functools.lru_cache(maxsize=None)
+def _canonical_order(k: int) -> np.ndarray:
+    """Sorted unique canonical k-mer values for small k (host-side)."""
+    all_vals = np.arange(4 ** k, dtype=np.uint32)
+    canon = np.minimum(all_vals, revcomp_kmers_np(all_vals, k))
+    return np.unique(canon)
+
+
+def num_canonical_kmers(k: int) -> int:
+    """136 for k=4, 32 for k=3 — the TNF feature widths
+    (count_tnf.cpp:54-76 enumerates them into an ordered std::map)."""
+    return int(_canonical_order(k).size)
+
+
+@functools.lru_cache(maxsize=None)
+def canonical_rank_lut(k: int) -> np.ndarray:
+    """(4^k,) int32 LUT: k-mer value -> rank of its canonical form.
+
+    The rank order equals the std::map iteration order of
+    count_tnf.cpp:108 (ascending canonical encoded value), so TNF feature
+    column j counts the j-th smallest canonical k-mer.
+    """
+    order = _canonical_order(k)
+    all_vals = np.arange(4 ** k, dtype=np.uint32)
+    canon = np.minimum(all_vals, revcomp_kmers_np(all_vals, k))
+    rank_of = np.zeros(4 ** k, dtype=np.int32)
+    rank_of[order] = np.arange(order.size, dtype=np.int32)
+    return rank_of[canon].astype(np.int32)

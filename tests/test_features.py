@@ -1,0 +1,122 @@
+"""XLA feature kernels vs the Python oracle, incl. grouping quirks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pangaea_tpu.io.grouping import ReadPair, group_kept, iter_barcode_groups
+from pangaea_tpu.io.packing import GroupPacker, ReadPacker
+from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
+from pangaea_tpu.kernels.features import (abundance_histogram,
+                                          count_kmers_global, make_global_table,
+                                          tnf_histogram)
+from tests import oracle
+
+
+def _rand_pairs(rng, n_barcodes=8, pairs_per_bc=6, read_len=40, with_n=True):
+    pairs = []
+    for b in range(n_barcodes):
+        bc = f"BC{b:04d}"
+        for p in range(rng.integers(1, pairs_per_bc + 1)):
+            def seq():
+                s = "".join("ACGT"[c] for c in rng.integers(0, 4, read_len))
+                if with_n and rng.random() < 0.3:
+                    i = int(rng.integers(0, read_len))
+                    s = s[:i] + "N" + s[i + 1:]
+                return s
+            pairs.append(ReadPair(f"r{b}_{p}", bc, seq(), seq()))
+    return pairs
+
+
+def _run_kernels(pairs, k, window, vector_size, tnf_k, min_len,
+                 max_read_len=64, reads_per_batch=32):
+    # global pass: every read in the stream
+    table = make_global_table(k)
+    rp = ReadPacker(max_read_len=max_read_len, overlap=k - 1,
+                    reads_per_batch=reads_per_batch)
+    seqs = []
+    for p in pairs:
+        seqs += [(p.seq1, ""), (p.seq2, "")]
+    for b in rp.iter_batches(iter(seqs)):
+        table = count_kmers_global(table, jnp.asarray(b.codes),
+                                   jnp.asarray(b.lengths), jnp.asarray(b.cont),
+                                   k=k, overlap=k - 1)
+    # feature pass
+    gp = GroupPacker(min_len=min_len, max_read_len=max_read_len,
+                     overlap=k - 1, reads_per_batch=reads_per_batch,
+                     groups_per_chunk=3)
+    lut = jnp.asarray(canonical_rank_lut(tnf_k))
+    ncols = num_canonical_kmers(tnf_k)
+    names, abd_rows, tnf_rows = [], [], []
+    for chunk in gp.iter_chunks(iter_barcode_groups(iter(pairs))):
+        G = chunk.num_groups
+        abd = jnp.zeros(G * vector_size, dtype=jnp.int32)
+        tnf = jnp.zeros(G * ncols, dtype=jnp.int32)
+        for b in chunk.batches:
+            args = (jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                    jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+            abd = abundance_histogram(abd, table, *args, k=k, window=window,
+                                      vector_size=vector_size, overlap=k - 1)
+            tnf = tnf_histogram(tnf, lut, *args, k=tnf_k, num_cols=ncols,
+                                overlap=k - 1)
+        names += chunk.names
+        abd_rows.append(np.asarray(abd).reshape(G, vector_size))
+        tnf_rows.append(np.asarray(tnf).reshape(G, ncols))
+    return (names, np.concatenate(abd_rows) if abd_rows else np.zeros((0, vector_size)),
+            np.concatenate(tnf_rows) if tnf_rows else np.zeros((0, ncols)), table)
+
+
+def _run_oracle(pairs, k, window, vector_size, tnf_k, min_len):
+    all_seqs = [s for p in pairs for s in (p.seq1, p.seq2)]
+    table = oracle.global_counts(all_seqs, k)
+    groups = oracle.group_stream([(p.barcode, p.seq1, p.seq2) for p in pairs])
+    names, abd, tnf = [], [], []
+    for bc, seqs in groups:
+        if not bc or len(oracle.concat_group(seqs)) <= min_len:
+            continue
+        names.append(bc)
+        abd.append(oracle.abundance_hist(seqs, table, k, window, vector_size))
+        tnf.append(oracle.tnf_counts(seqs, tnf_k))
+    return names, np.array(abd), np.array(tnf), table
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_read_len", [64, 23])  # 23 forces row splitting
+def test_features_match_oracle(seed, max_read_len):
+    rng = np.random.default_rng(seed)
+    pairs = _rand_pairs(rng)
+    k, window, vector_size, tnf_k, min_len = 7, 3, 50, 4, 100
+    names_o, abd_o, tnf_o, table_o = _run_oracle(pairs, k, window, vector_size,
+                                                 tnf_k, min_len)
+    names_k, abd_k, tnf_k_arr, table_k = _run_kernels(
+        pairs, k, window, vector_size, tnf_k, min_len,
+        max_read_len=max_read_len)
+    assert names_k == names_o
+    # global table parity
+    tk = np.asarray(table_k)
+    for c, n in table_o.items():
+        assert tk[c] == n
+    assert int(tk.sum()) == sum(table_o.values())
+    np.testing.assert_array_equal(abd_k, abd_o)
+    np.testing.assert_array_equal(tnf_k_arr, tnf_o)
+
+
+def test_boundary_leak_grouping():
+    pairs = [ReadPair("a", "B1", "A" * 10, "C" * 10),
+             ReadPair("b", "B1", "G" * 10, "T" * 10),
+             ReadPair("c", "B2", "A" * 10, "A" * 10)]
+    groups = list(iter_barcode_groups(iter(pairs)))
+    # first flush: empty barcode carrying first pair of B1
+    assert groups[0][0] == "" and len(groups[0][1]) == 1
+    # B1 group: second pair of B1 + first pair of B2 (the leak)
+    assert groups[1][0] == "B1" and [p.name for p in groups[1][1]] == ["b", "c"]
+    # final flush: B2 with nothing left
+    assert groups[2][0] == "B2" and groups[2][1] == []
+
+
+def test_group_filters():
+    g = [ReadPair("a", "B", "A" * 10, "C" * 10)]
+    assert not group_kept("", g, 5)
+    assert group_kept("B", g, 21)   # concat len = 22 > 21
+    assert not group_kept("B", g, 22)  # <= min_len dropped (count_kmer.cpp:62)

@@ -1,0 +1,72 @@
+import gzip
+
+import numpy as np
+
+from pangaea_tpu.io.fastq import (BarcodeParser, barcode_sort_interleaved,
+                                  iter_fastq_records)
+from pangaea_tpu.io.grouping import (iter_read_pairs_interleaved,
+                                     iter_read_pairs_paired)
+from pangaea_tpu.io.sim import simulate_linked_reads
+
+
+def test_barcode_parser_10x():
+    p = BarcodeParser()
+    name, bc = p.parse("read1\tBX:Z:ACGTACGT-1")
+    assert (name, bc) == ("read1", "ACGTACGT")
+    assert p.read_type == "10x"
+    # sticky: later headers without BX:Z stay 10x and yield empty barcode
+    name, bc = p.parse("read2 extra")
+    assert (name, bc) == ("read2", "")
+
+
+def test_barcode_parser_stlfr():
+    p = BarcodeParser()
+    name, bc = p.parse("read1#12_34_56/1")
+    assert (name, bc) == ("read1", "12_34_56")
+    assert p.read_type == "stLFR"
+    name, bc = p.parse("read2#0_0_0/1")
+    assert bc == ""  # 0_0_0 => unbarcoded (count_kmer.cpp:41-42)
+
+
+def test_simulator_roundtrip(tmp_path):
+    inter = str(tmp_path / "reads.fq.gz")
+    res = simulate_linked_reads(out_interleaved=inter, n_species=2,
+                                genome_len=5000, n_barcodes=10,
+                                pairs_per_barcode=5, read_len=50, seed=3)
+    pairs = list(iter_read_pairs_interleaved(inter))
+    assert len(pairs) == res.n_pairs == 50
+    # barcode-sorted stream
+    bcs = [p.barcode for p in pairs]
+    assert bcs == sorted(bcs)
+    assert set(bcs) == set(res.barcodes)
+
+
+def test_paired_vs_interleaved_consistency(tmp_path):
+    r1, r2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    inter = str(tmp_path / "i.fq")
+    simulate_linked_reads(out_interleaved=inter, out_r1=r1, out_r2=r2,
+                          n_barcodes=5, pairs_per_barcode=3,
+                          genome_len=3000, read_len=40, seed=1)
+    pi = list(iter_read_pairs_interleaved(inter))
+    pp = list(iter_read_pairs_paired(r1, r2))
+    assert [(p.name, p.barcode, p.seq1, p.seq2) for p in pi] == \
+           [(p.name, p.barcode, p.seq1, p.seq2) for p in pp]
+
+
+def test_barcode_sort(tmp_path):
+    # unsorted interleaved file with an unbarcoded pair
+    recs = [
+        ("x\tBX:Z:TTT-1", "AAAA"),
+        ("y\tBX:Z:AAA-1", "CCCC"),
+        ("z no_barcode", "GGGG"),
+    ]
+    inp, out = str(tmp_path / "u.fq"), str(tmp_path / "s.fq")
+    with open(inp, "w") as f:
+        for h, s in recs:
+            for r in (1, 2):
+                f.write(f"@{h}\n{s}\n+\nIIII\n")
+    barcode_sort_interleaved(inp, out)
+    headers = [r.header for r in iter_fastq_records(out)]
+    # AAA first, TTT next, unbarcoded (~~~) last
+    assert headers[0].startswith("y") and headers[2].startswith("x")
+    assert headers[4].startswith("z")
