@@ -52,8 +52,15 @@ def simulate_linked_reads(
     emits ``@<name>#<barcode>/1``.
     """
     rng = np.random.default_rng(seed)
-    genomes = ["".join("ACGT"[b] for b in rng.integers(0, 4, genome_len))
-               for _ in range(n_species)]
+    # Species get distinct base-composition biases (Dirichlet-sampled) so
+    # their TNF signatures differ, and skewed barcode proportions so their
+    # coverages (=> abundance histograms) differ — mirroring real
+    # metagenomes, where both signals drive the reference's binning.
+    genomes = []
+    for _ in range(n_species):
+        probs = rng.dirichlet(np.full(4, 1.5))
+        genomes.append("".join("ACGT"[b] for b in
+                               rng.choice(4, genome_len, p=probs)))
 
     # distinct fixed-width ACGT barcodes, emitted in sorted order so the
     # stream is barcode-sorted like the reference's step-0 output.
@@ -65,7 +72,9 @@ def simulate_linked_reads(
             bcs.append(extra)
     bcs = sorted(bcs[:n_barcodes])
 
-    barcode_species = {bc: int(rng.integers(0, n_species)) for bc in bcs}
+    # skewed species proportions => distinct coverages per species
+    props = rng.dirichlet(np.full(n_species, 2.0))
+    barcode_species = {bc: int(rng.choice(n_species, p=props)) for bc in bcs}
 
     def mutate(s: str) -> str:
         if error_rate <= 0:
