@@ -1,0 +1,115 @@
+"""RPH-KMeans: skeleton-initialized k-means, best of n_init runs.
+
+Behavior contract (reference rph_kmeans_.py:116-162 + src/clustering.py:14-19):
+
+- each run: point-reduce X to <= max_point skeleton points; weighted
+  KMeans on the skeleton gives init centers; full (unweighted) KMeans
+  from those centers; keep the run with the lowest full-data inertia.
+- Pangaea invokes RPHKMeans(n_init=20, n_clusters=k).fit_predict(latent)
+  (src/clustering.py:17).
+- raises if the skeleton ends up smaller than n_clusters
+  (rph_kmeans_.py:118-119).
+
+Division of labor (TPU-native): point reduction and the full-data Lloyd
+run in XLA (cluster/reduce.py, cluster/kmeans.py — the hot loops); the
+skeleton KMeans (<= 2000 weighted points) stays on sklearn exactly like
+the reference's L4 layer, preserving k-means++ init quality.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+from sklearn.cluster import KMeans
+
+from pangaea_tpu.cluster.kmeans import kmeans_lloyd
+from pangaea_tpu.cluster.reduce import RPPointReducer
+
+log = logging.getLogger(__name__)
+
+
+class RPHKMeans:
+    def __init__(self, n_clusters: int = 8, n_init: int = 1,
+                 w: Optional[float] = None, max_point: int = 2000,
+                 proj_num: int = 5, max_iter: int = 1000,
+                 sample_dist_num: int = 1000, skeleton_n_init: int = 10,
+                 final_max_iter: int = 300, final_tol: float = 1e-4,
+                 random_state: Optional[int] = None, verbose: int = 0):
+        self.n_clusters = n_clusters
+        self.n_init = n_init
+        self.w = w
+        self.max_point = max_point
+        self.proj_num = proj_num
+        self.max_iter = max_iter
+        self.sample_dist_num = sample_dist_num
+        self.skeleton_n_init = skeleton_n_init
+        self.final_max_iter = final_max_iter
+        self.final_tol = final_tol
+        self.rng = np.random.RandomState(random_state)
+        self.verbose = verbose
+
+        self.cluster_centers_: Optional[np.ndarray] = None
+        self.labels_: Optional[np.ndarray] = None
+        self.inertia_: float = np.inf
+        self.n_iter_: int = 0
+        self.reduced_X_: Optional[np.ndarray] = None
+        self.reduced_X_weight_: Optional[np.ndarray] = None
+        self.init_centers_: Optional[np.ndarray] = None
+        self.rp_iter_: int = 0
+
+    def init_centers(self, X: np.ndarray):
+        reducer = RPPointReducer(self.w, self.max_point, self.proj_num,
+                                 self.max_iter, self.sample_dist_num,
+                                 rng=self.rng)
+        reduced_X, weight, labels, rp_iter = reducer.fit_transform(X)
+        if len(reduced_X) < self.n_clusters:
+            raise RuntimeError(
+                "Number of reduced points is too small, please try smaller "
+                "w or larger proj_num")
+        skel = KMeans(n_clusters=self.n_clusters, n_init=self.skeleton_n_init,
+                      random_state=self.rng.randint(2**31 - 1))
+        skel.fit_predict(reduced_X, sample_weight=weight)
+        return skel.cluster_centers_, reduced_X, weight, rp_iter
+
+    def fit(self, X: np.ndarray) -> "RPHKMeans":
+        X = np.ascontiguousarray(X, dtype=np.float32)
+        self.inertia_ = np.inf
+        for i in range(self.n_init):
+            init_c, red_x, red_w, rp_iter = self.init_centers(X)
+            C, labels, inertia, n_iter = kmeans_lloyd(
+                X, init_c, max_iter=self.final_max_iter, tol=self.final_tol)
+            if self.verbose:
+                log.info("rph init %d/%d: inertia %.6g (%d iters)",
+                         i + 1, self.n_init, inertia, n_iter)
+            if inertia < self.inertia_:
+                self.inertia_ = inertia
+                self.cluster_centers_ = C
+                self.labels_ = labels
+                self.n_iter_ = n_iter
+                self.init_centers_ = init_c
+                self.reduced_X_ = red_x
+                self.reduced_X_weight_ = red_w
+                self.rp_iter_ = rp_iter
+        return self
+
+    def fit_predict(self, X: np.ndarray) -> np.ndarray:
+        self.fit(X)
+        return self.labels_
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        from pangaea_tpu.cluster.reduce import _nearest_labels
+        import jax.numpy as jnp
+        return np.asarray(_nearest_labels(
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(self.cluster_centers_, jnp.float32)))
+
+
+def clustering_rph_kmeans(embedding: np.ndarray, k: int,
+                          n_init: int = 20,
+                          random_state: Optional[int] = None) -> np.ndarray:
+    """src/clustering.py:14-19: RPHKMeans(n_init=20).fit_predict."""
+    clt = RPHKMeans(n_init=n_init, n_clusters=k, random_state=random_state,
+                    verbose=0)
+    return clt.fit_predict(embedding)
