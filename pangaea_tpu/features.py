@@ -1,0 +1,199 @@
+"""Step-1 orchestrator: streams reads through the TPU feature kernels.
+
+Replaces the reference's three-process fan-out (src/feature.py:28-39 runs
+jellyfish + count_kmer + count_tnf as subprocesses over 3 threads, reading
+the input FASTQ three times) with two streaming passes:
+
+  pass 1  global canonical k-mer table  (jellyfish equivalent)
+  pass 2  per-barcode abundance histogram + TNF counts in ONE pass
+          (count_kmer + count_tnf equivalents share the packed batches)
+
+Artifact names and resume semantics mirror src/feature.py:42-44,67-123:
+``abundance.k{k}.v{v}.w{w}.m{m}.pkl`` / ``.gz``, ``tnf.m{m}.pkl`` /
+``.gz``, and the ``feature_finished`` marker. The .gz CSVs are
+comma-separated ``barcode,c0,c1,...`` like the C++ tools' output.
+
+Quality masking parity: jellyfish is invoked with ``--min-qual-char=?``
+only on the paired-reads path (src/feature.py:76-86); the interleaved path
+counts unmasked. Masking therefore applies only to the *global table*
+pass — count_kmer scans raw bases and relies on table lookups
+(count_kmer.cpp:87), which this reproduces.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pangaea_tpu.config import FeatureConfig
+from pangaea_tpu.io.fastq import iter_fastq_records
+from pangaea_tpu.io.grouping import (iter_barcode_groups,
+                                     iter_read_pairs_interleaved,
+                                     iter_read_pairs_paired)
+from pangaea_tpu.io.packing import GroupPacker, ReadPacker
+from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
+from pangaea_tpu.kernels.features import (abundance_histogram,
+                                          count_kmers_global,
+                                          make_global_table, tnf_histogram)
+
+log = logging.getLogger(__name__)
+
+
+class FeatureExtractor:
+    def __init__(self, cfg: FeatureConfig, feature_dir: str):
+        self.cfg = cfg
+        self.dir = feature_dir
+        os.makedirs(feature_dir, exist_ok=True)
+        c = cfg
+        stem = f"abundance.k{c.kmer}.v{c.vector_size}.w{c.window_size}.m{c.min_length}"
+        self.abd_gz = os.path.join(feature_dir, stem + ".gz")
+        self.abd_pkl = os.path.join(feature_dir, stem + ".pkl")
+        self.tnf_gz = os.path.join(feature_dir, f"tnf.m{c.min_length}.gz")
+        self.tnf_pkl = os.path.join(feature_dir, f"tnf.m{c.min_length}.pkl")
+        self.marker = os.path.join(feature_dir, "feature_finished")
+
+    # ---- input streams ----------------------------------------------------
+
+    def _pair_stream(self, reads1: str, reads2: str, interleaved: str):
+        if interleaved:
+            return iter_read_pairs_interleaved(interleaved)
+        if reads1 and reads2:
+            return iter_read_pairs_paired(reads1, reads2)
+        raise ValueError("reads must be specified")
+
+    def _seq_stream(self, reads1: str, reads2: str, interleaved: str
+                    ) -> Iterator[Tuple[str, str]]:
+        """All sequences with quals, for the global pass."""
+        if interleaved:
+            for rec in iter_fastq_records(interleaved):
+                yield rec.seq, rec.qual
+        elif reads1 and reads2:
+            for path in (reads1, reads2):
+                for rec in iter_fastq_records(path):
+                    yield rec.seq, rec.qual
+        else:
+            raise ValueError("reads must be specified")
+
+    # ---- passes -----------------------------------------------------------
+
+    def global_kmer_table(self, reads1: str = "", reads2: str = "",
+                          interleaved: str = "") -> jnp.ndarray:
+        c = self.cfg
+        # --min-qual-char=? only on the paired path (src/feature.py:76-86)
+        min_qual = c.min_qual_char if (reads1 and reads2) else None
+        packer = ReadPacker(max_read_len=c.max_read_len, overlap=c.kmer - 1,
+                            reads_per_batch=c.reads_per_batch,
+                            min_qual_char=min_qual)
+        table = make_global_table(c.kmer)
+        n = 0
+        for b in packer.iter_batches(
+                self._seq_stream(reads1, reads2, interleaved)):
+            table = count_kmers_global(
+                table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                jnp.asarray(b.cont), k=c.kmer, overlap=c.kmer - 1)
+            n += b.codes.shape[0]
+            if n % (50 * c.reads_per_batch) == 0:
+                log.info("global pass: %d read rows", n)
+        return table
+
+    def group_features(self, table: jnp.ndarray, reads1: str = "",
+                       reads2: str = "", interleaved: str = ""
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pass 2: per-barcode abundance + TNF in one stream."""
+        c = self.cfg
+        overlap = c.kmer - 1
+        ncols = num_canonical_kmers(c.tnf_kmer)
+        lut = jnp.asarray(canonical_rank_lut(c.tnf_kmer))
+        gp = GroupPacker(min_len=c.min_length, max_read_len=c.max_read_len,
+                         overlap=overlap, reads_per_batch=c.reads_per_batch)
+        groups = iter_barcode_groups(
+            self._pair_stream(reads1, reads2, interleaved),
+            bug_compat=c.bug_compat_boundary_leak)
+        G = gp.groups_per_chunk
+        names: List[str] = []
+        abd_rows, tnf_rows = [], []
+        for chunk in gp.iter_chunks(groups):
+            hist = jnp.zeros(G * c.vector_size, jnp.int32)
+            thist = jnp.zeros(G * ncols, jnp.int32)
+            for b in chunk.batches:
+                args = (jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                        jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+                hist = abundance_histogram(
+                    hist, table, *args, k=c.kmer, window=c.window_size,
+                    vector_size=c.vector_size, overlap=overlap)
+                thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
+                                      num_cols=ncols, overlap=overlap)
+            g = chunk.num_groups
+            names += chunk.names
+            abd_rows.append(np.asarray(hist).reshape(G, c.vector_size)[:g])
+            tnf_rows.append(np.asarray(thist).reshape(G, ncols)[:g])
+            log.info("group pass: %d barcodes", len(names))
+        if not names:
+            return (np.array([], dtype=object),
+                    np.zeros((0, c.vector_size), np.int32),
+                    np.zeros((0, ncols), np.int32))
+        return (np.array(names), np.concatenate(abd_rows),
+                np.concatenate(tnf_rows))
+
+    # ---- artifacts --------------------------------------------------------
+
+    @staticmethod
+    def _write_csv_gz(path: str, names: np.ndarray, mat: np.ndarray) -> None:
+        with gzip.open(path, "wt") as f:
+            for name, row in zip(names, mat):
+                f.write(name + "," + ",".join(str(int(v)) for v in row)
+                        + "\n")
+
+    @staticmethod
+    def _read_csv_gz(path: str) -> Tuple[np.ndarray, np.ndarray]:
+        names, rows = [], []
+        with gzip.open(path, "rt") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(",")
+                names.append(parts[0])
+                rows.append([int(v) for v in parts[1:]])
+        return np.array(names), np.array(rows, dtype=np.int32)
+
+    def _save(self, names, abd, tnf) -> None:
+        import pandas as pd
+        self._write_csv_gz(self.abd_gz, names, abd)
+        self._write_csv_gz(self.tnf_gz, names, tnf)
+        # pandas pickles with the same layout as pd.read_csv(...).to_pickle
+        # (src/feature.py:115-119): column 0 = barcode, 1.. = counts
+        pd.DataFrame(np.column_stack([names, abd])).to_pickle(self.abd_pkl)
+        pd.DataFrame(np.column_stack([names, tnf])).to_pickle(self.tnf_pkl)
+
+    def extract_features(self, reads1: str = "", reads2: str = "",
+                         interleaved: str = ""
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if os.path.exists(self.abd_gz) and os.path.exists(self.tnf_gz):
+            log.info("features already extracted, loading")
+            return self.load_features()
+        table = self.global_kmer_table(reads1, reads2, interleaved)
+        names, abd, tnf = self.group_features(table, reads1, reads2,
+                                              interleaved)
+        del table
+        self._save(names, abd, tnf)
+        with open(self.marker, "w") as f:
+            f.write("feature finished")
+        return names, abd, tnf
+
+    def load_features(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        import pandas as pd
+        if os.path.isfile(self.abd_pkl) and os.path.isfile(self.tnf_pkl):
+            a = pd.read_pickle(self.abd_pkl)
+            t = pd.read_pickle(self.tnf_pkl)
+            names = a[0].to_numpy()
+            names_t = t[0].to_numpy()
+            abd = a.drop(columns=0).to_numpy().astype(np.int64)
+            tnf = t.drop(columns=0).to_numpy().astype(np.int64)
+        else:
+            names, abd = self._read_csv_gz(self.abd_gz)
+            names_t, tnf = self._read_csv_gz(self.tnf_gz)
+        assert (names == names_t).all()  # src/feature.py:35 invariant
+        return names, abd, tnf

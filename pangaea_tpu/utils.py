@@ -1,0 +1,71 @@
+"""Runtime init, logging, subprocess helpers (reference: src/utils.py)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import subprocess
+import sys
+from typing import List, Optional
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persist XLA compilations across processes. The first TPU compile of
+    the feature/cluster graphs costs minutes; with the cache, re-runs and
+    resumed pipelines pay ~0 (greenfield vs the reference, which has no
+    compiled artifacts to cache)."""
+    import jax
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "pangaea_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def init_all(seed: int, threads: int, logfile: str, level: int,
+             outdir: str) -> None:
+    """src/utils.py:84-105: seed numpy, create outdir, root logger to
+    file + stderr with the reference's timestamp format."""
+    import numpy as np
+    np.random.seed(seed)
+    os.makedirs(outdir, exist_ok=True)
+    root = logging.getLogger()
+    root.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s (%(levelname)s): %(message)s",
+                            "%Y-%m-%d %H:%M:%S")
+    for handler in (logging.FileHandler(os.path.join(outdir, logfile)),
+                    logging.StreamHandler()):
+        handler.setLevel(level)
+        handler.setFormatter(fmt)
+        root.addHandler(handler)
+    root.info("program start up")
+    enable_compilation_cache()
+
+
+def run_cmd(command: List[str], log_file: Optional[str] = None) -> None:
+    """src/utils.py:69-81: run, log, exit(1) on failure."""
+    log_pipe = open(log_file, "a") if log_file else subprocess.DEVNULL
+    logging.info("command started: " + " ".join(command))
+    ret = subprocess.run(command, stdout=subprocess.PIPE, stderr=log_pipe,
+                         stdin=subprocess.PIPE, text=True)
+    if ret.returncode:
+        logging.error("command failed: " + " ".join(command))
+        sys.exit(1)
+    logging.info("command completed: " + " ".join(command))
+
+
+def run_cmd_with_pipe(command: List[str],
+                      pipe_file: Optional[str] = None) -> None:
+    """src/utils.py:55-67: stdout+stderr to a file."""
+    log_pipe = open(pipe_file, "a") if pipe_file else subprocess.DEVNULL
+    logging.info("command started: " + " ".join(command))
+    ret = subprocess.run(command, stdout=log_pipe, stderr=log_pipe)
+    if ret.returncode:
+        logging.error("command failed: " + " ".join(command))
+        sys.exit(1)
+    logging.info("command completed: " + " ".join(command))
+
+
+def which(tool: str) -> Optional[str]:
+    import shutil
+    return shutil.which(tool)

@@ -1,0 +1,225 @@
+"""Assembly-layer tests: fasta utils, naive assembler, unmapped recovery,
+TPU mapper, merge_olc containment."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pangaea_tpu.asm.fasta import (concat_fastas, fasta_sizes,
+                                   filter_min_len, iter_fasta,
+                                   rename_contigs, subseq, write_fasta)
+from pangaea_tpu.asm.naive import assemble_unitigs
+from pangaea_tpu.asm.unmapped import extract_unmapped, read_depth_file
+from pangaea_tpu.io.bam import (BamRecord, BamWriter, FPAIRED, FREAD1,
+                                FREAD2, FUNMAP, revcomp)
+
+
+def rand_seq(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return "".join("ACGT"[b] for b in rng.randint(0, 4, n))
+
+
+# ---- fasta utils ----------------------------------------------------------
+
+def test_fasta_roundtrip_and_rename(tmp_path):
+    fa = str(tmp_path / "a.fa")
+    write_fasta(fa, [("x extra words", "ACGT"), ("y", "GGGG")], width=2)
+    recs = list(iter_fasta(fa))
+    assert recs == [("x extra words", "ACGT"), ("y", "GGGG")]
+    assert fasta_sizes(fa) == {"x": 4, "y": 4}
+    out = str(tmp_path / "b.fa")
+    n = rename_contigs(fa, out)
+    assert n == 2
+    assert [r[0] for r in iter_fasta(out)] == ["contig_1", "contig_2"]
+
+
+def test_subseq_and_filter(tmp_path):
+    fa = str(tmp_path / "a.fa")
+    write_fasta(fa, [("a", "A" * 10), ("b", "C" * 5), ("c", "G" * 20)])
+    out = str(tmp_path / "sub.fa")
+    assert subseq(fa, ["a", "c"], out) == 2
+    assert [r[0] for r in iter_fasta(out)] == ["a", "c"]
+    out2 = str(tmp_path / "min.fa")
+    assert filter_min_len(fa, out2, 10) == 2
+    assert filter_min_len(fa, out2, 10, append=True) == 2
+    assert len(list(iter_fasta(out2))) == 4  # seqtk x6 append pattern
+
+
+def test_concat_fastas_newline_safe(tmp_path):
+    p1, p2 = str(tmp_path / "1.fa"), str(tmp_path / "2.fa")
+    with open(p1, "w") as f:
+        f.write(">a\nACGT")  # no trailing newline
+    with open(p2, "w") as f:
+        f.write(">b\nGGGG\n")
+    out = str(tmp_path / "cat.fa")
+    concat_fastas([p1, p2], out)
+    assert list(iter_fasta(out)) == [("a", "ACGT"), ("b", "GGGG")]
+
+
+# ---- naive assembler ------------------------------------------------------
+
+def test_naive_assembler_reconstructs_genome():
+    genome = rand_seq(3000, seed=1)
+    reads = [genome[i:i + 100] for i in range(0, 2901, 10)]
+    # also some reverse-strand reads
+    reads += [revcomp(r) for r in reads[::3]]
+    contigs = assemble_unitigs(reads, k=31, min_len=500)
+    assert len(contigs) == 1
+    c = contigs[0]
+    assert c == genome or c == revcomp(genome)
+
+
+def test_naive_assembler_two_species():
+    g1, g2 = rand_seq(2000, seed=2), rand_seq(2000, seed=3)
+    reads = [g[i:i + 100] for g in (g1, g2) for i in range(0, 1901, 10)]
+    contigs = assemble_unitigs(reads, k=31, min_len=500)
+    assert len(contigs) == 2
+    recovered = {min(c, revcomp(c)) for c in contigs}
+    assert recovered == {min(g1, revcomp(g1)), min(g2, revcomp(g2))}
+
+
+# ---- unmapped recovery ----------------------------------------------------
+
+def make_depth(tmp_path, rows):
+    p = str(tmp_path / "d.depth")
+    with open(p, "w") as f:
+        f.write("contigName\tcontigLen\ttotalAvgDepth\tx.bam\tx.bam-var\n")
+        for name, ln, d in rows:
+            f.write(f"{name}\t{ln}\t{d}\t{d}\t0\n")
+    return p
+
+
+def test_read_depth_file(tmp_path):
+    p = make_depth(tmp_path, [("c1", 100, 50.0), ("c2", 100, 5.0),
+                              ("c3", 100, 10.0)])
+    assert read_depth_file(p, 10) == ["c1", "c3"]
+
+
+def pair_records(name, tid1, tid2, seq="A" * 100, nm1=0, nm2=0,
+                 cols=100, unmapped=False):
+    cigar = [("M", cols)] + ([("S", 100 - cols)] if cols < 100 else [])
+    f1, f2 = FPAIRED | FREAD1, FPAIRED | FREAD2
+    if unmapped:
+        f1 |= FUNMAP
+        f2 |= FUNMAP
+        cigar = []
+    return [
+        BamRecord(name, f1, tid1, 0, 60, cigar, seq, "I" * len(seq),
+                  {"NM": nm1}),
+        BamRecord(name, f2, tid2, 0, 60, cigar, seq, "I" * len(seq),
+                  {"NM": nm2}),
+    ]
+
+
+def test_extract_unmapped(tmp_path):
+    bam = str(tmp_path / "t.bam")
+    depth = make_depth(tmp_path, [("high", 1000, 50.0), ("low", 1000, 2.0)])
+    with BamWriter(bam, ["high", "low"], [1000, 1000]) as w:
+        # pair A: good alignment to high-cov contig -> NOT recovered
+        for r in pair_records("A", 0, 0):
+            w.write(r)
+        # pair B: aligned only to the low-cov contig -> recovered
+        for r in pair_records("B", 1, 1):
+            w.write(r)
+        # pair C: unmapped -> recovered
+        for r in pair_records("C", -1, -1, unmapped=True):
+            w.write(r)
+        # pair D: high-cov contig but identity below 0.95 -> recovered
+        for r in pair_records("D", 0, 0, nm1=10, nm2=10):
+            w.write(r)
+        # pair E: high-cov contig but <60 aligned columns -> recovered
+        for r in pair_records("E", 0, 0, cols=50):
+            w.write(r)
+    prefix = str(tmp_path / "out")
+    n_groups, n_emitted = extract_unmapped(bam, depth, 10, prefix)
+    assert n_groups == 5
+    assert n_emitted == 4
+    names = [ln[1:-3] for ln in open(prefix + ".low_abd.fq")
+             if ln.startswith("@")]
+    assert names == ["B", "B", "C", "C", "D", "D", "E", "E"]
+    assert open(prefix + ".list").read().split() == ["high"]
+
+
+def test_extract_unmapped_revcomp_restore(tmp_path):
+    from pangaea_tpu.io.bam import FREVERSE
+    bam = str(tmp_path / "t.bam")
+    depth = make_depth(tmp_path, [("c", 1000, 50.0)])
+    seq = "ACGTACGTAA"
+    with BamWriter(bam, ["c"], [1000]) as w:
+        w.write(BamRecord("R", FPAIRED | FREAD1 | FUNMAP, -1, -1, 0, [],
+                          seq, "ABCDEFGHIJ", {}))
+        w.write(BamRecord("R", FPAIRED | FREAD2 | FUNMAP | FREVERSE, -1, -1,
+                          0, [], revcomp(seq), "JIHGFEDCBA"[::-1], {}))
+    prefix = str(tmp_path / "out")
+    extract_unmapped(bam, depth, 10, prefix)
+    lines = open(prefix + ".low_abd.fq").read().splitlines()
+    assert lines[1] == seq and lines[3] == "ABCDEFGHIJ"
+    # mate 2 restored to original read orientation
+    assert lines[5] == seq and lines[7] == "JIHGFEDCBA"[::-1][::-1]
+
+
+# ---- TPU k-mer mapper -----------------------------------------------------
+
+def test_kmer_mapper_assigns_reads():
+    from pangaea_tpu.asm.mapper import KmerMapper
+    g1, g2 = rand_seq(2000, seed=5), rand_seq(2000, seed=6)
+    mapper = KmerMapper(k=13, max_row_len=256)
+    mapper.index_contigs([("c1", g1), ("c2", g2)])
+    reads = [g1[100:250], g2[500:650], g1[1000:1150], rand_seq(150, seed=7)]
+    best, votes, nvalid = mapper.map_reads(reads)
+    assert best[0] == 0 and best[1] == 1 and best[2] == 0
+    assert votes[0] == 150 - 13 + 1  # every window matches
+    # random read: very few accidental matches
+    assert votes[3] < 10
+
+
+def test_kmer_mapper_revcomp_reads():
+    from pangaea_tpu.asm.mapper import KmerMapper
+    g = rand_seq(1500, seed=8)
+    mapper = KmerMapper(k=13, max_row_len=256)
+    mapper.index_contigs([("c", g)])
+    best, votes, _ = mapper.map_reads([revcomp(g[200:350])])
+    assert best[0] == 0 and votes[0] == 138
+
+
+def test_map_pairs_to_bam_and_depth(tmp_path):
+    from pangaea_tpu.asm.mapper import (KmerMapper, map_pairs_to_bam,
+                                        write_depth_file)
+    from pangaea_tpu.io.bam import BamReader
+    g = rand_seq(2000, seed=9)
+    mapper = KmerMapper(k=13, max_row_len=256)
+    mapper.index_contigs([("c", g)])
+    pairs = [("p1", g[0:150], "I" * 150, revcomp(g[250:400]), "I" * 150),
+             ("p2", rand_seq(150, seed=10), "I" * 150,
+              rand_seq(150, seed=11), "I" * 150)]
+    bam = str(tmp_path / "m.bam")
+    bases = map_pairs_to_bam(mapper, iter(pairs), bam)
+    assert bases == {0: 300.0}
+    recs = list(BamReader(bam))
+    assert len(recs) == 4
+    assert not recs[0].is_unmapped and not recs[1].is_unmapped
+    assert recs[2].is_unmapped and recs[3].is_unmapped
+    depth = str(tmp_path / "m.depth")
+    write_depth_file(depth, mapper.contig_names, mapper.contig_lengths,
+                     bases)
+    assert read_depth_file(depth, 0.1) == ["c"]
+
+
+# ---- merge_olc builtin ----------------------------------------------------
+
+def test_merge_olc_builtin_containment(tmp_path):
+    from pangaea_tpu.asm.merge_olc import merge_olc
+    seeds_fa = str(tmp_path / "seeds.fa")
+    local_fa = str(tmp_path / "local.fa")
+    seed = rand_seq(5000, seed=12)
+    novel = rand_seq(3000, seed=13)
+    write_fasta(seeds_fa, [("seed1", seed)])
+    # contained: a 2kb slice of the seed (2000 + 1000 >= 2000 => dropped)
+    # novel: not in seeds => kept
+    write_fasta(local_fa, [("contained", seed[1000:3000]), ("novel", novel)])
+    out = merge_olc(seeds_fa, local_fa, str(tmp_path / "olc"))
+    seqs = {s for _, s in iter_fasta(out)}
+    assert novel in seqs or revcomp(novel) in seqs
+    assert seed[1000:3000] not in seqs
+    assert any(s == seed for s in seqs)  # single seed copy (no flye)

@@ -1,0 +1,84 @@
+"""End-to-end pipeline test on simulated linked reads (builtin backends).
+
+The reference's de-facto e2e test is its bundled ATCC dataset
+(SURVEY.md §4.3), absent from the snapshot; the simulator provides an
+equivalent with ground-truth species labels to score binning (ARI).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from sklearn.metrics import adjusted_rand_score
+
+from pangaea_tpu.config import (ClusterConfig, FeatureConfig, ModelConfig,
+                                PangaeaConfig)
+from pangaea_tpu.io.sim import simulate_linked_reads
+from pangaea_tpu.pipeline import Pipeline, check_step_finished
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    d = tmp_path_factory.mktemp("simdata")
+    path = str(d / "reads.fq.gz")
+    res = simulate_linked_reads(out_interleaved=path, n_species=4,
+                                genome_len=30_000, n_barcodes=150,
+                                pairs_per_barcode=30, seed=11)
+    return path, res
+
+
+def small_config(reads, outdir, steps="1,2,3"):
+    return PangaeaConfig(
+        interleaved_reads=reads, output=outdir, steps=steps,
+        feature=FeatureConfig(reads_per_batch=16384),
+        model=ModelConfig(epochs=10, batch_size=64, patience=40,
+                          eval_every_batches=3),
+        cluster=ClusterConfig(n_clusters=4, n_init=3),
+    )
+
+
+def test_pipeline_steps_1_to_3(tmp_path, sim):
+    reads, res = sim
+    out = str(tmp_path / "out")
+    cfg = small_config(reads, out)
+    Pipeline(cfg).run()
+    for step in ("1", "2", "3"):
+        assert check_step_finished(out, step), f"step {step} not finished"
+    # clusters.tsv exists and covers the kept barcodes
+    tsv = os.path.join(out, "3.clustering", "clusters.tsv")
+    cluster_of = {}
+    for line in open(tsv):
+        cid, bcs = line.rstrip("\n").split("\t")
+        for bc in bcs.split(","):
+            cluster_of[bc] = int(cid)
+    # ARI vs ground truth on labeled barcodes
+    lab, pred = [], []
+    for bc, cid in cluster_of.items():
+        if bc in res.barcode_species:
+            lab.append(res.barcode_species[bc])
+            pred.append(cid)
+    assert len(lab) > 100
+    ari = adjusted_rand_score(lab, pred)
+    assert ari > 0.5, f"ARI {ari}"
+    # per-bin fastqs materialized
+    bins = [f for f in os.listdir(os.path.join(out, "3.clustering"))
+            if f.endswith(".fq")]
+    assert len(bins) == 4
+    # resume: a second run must skip all steps (markers honored)
+    Pipeline(cfg).run()
+
+
+def test_pipeline_step_4_builtin(tmp_path, sim):
+    reads, res = sim
+    out = str(tmp_path / "out4")
+    cfg = small_config(reads, out, steps="1,2,3,4")
+    Pipeline(cfg).run()
+    assert check_step_finished(out, "4")
+    final = os.path.join(out, "final_asm.fa")
+    assert os.path.isfile(final)
+    from pangaea_tpu.asm.fasta import iter_fasta
+    contigs = list(iter_fasta(final))
+    assert len(contigs) >= 4
+    total = sum(len(s) for _, s in contigs)
+    # 4 genomes x 30 kb: the ensemble should recover a large fraction
+    assert total > 60_000, f"assembled only {total} bases"
