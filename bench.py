@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""Headline bench: feature-extraction + VAE binning reads/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+self-measured on this host's CPU: a numpy sort-based k-mer counter
+(jellyfish-class algorithm — sort/unique global table, searchsorted
+lookups, np.add.at histograms) plus the VAE train step on the XLA CPU
+backend, standing in for the reference's jellyfish + C++ count_kmer/tnf +
+torch-CPU stack. vs_baseline = TPU reads/s / host-CPU reads/s.
+
+The bench times the DEVICE path (packed read batches prepared up front):
+global k-mer pass + per-barcode abundance/TNF pass + VAE train steps per
+epoch-equivalent. Host-side FASTQ parsing is benched separately by
+tests/bench_io (native IO milestone).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+K, TNFK, WINDOW, VEC = 15, 4, 10, 400
+READ_LEN = 150
+N_BARCODES = int(os.environ.get("BENCH_BARCODES", 3000))
+PAIRS_PER_BC = int(os.environ.get("BENCH_PAIRS", 40))
+TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 200))
+CPU_SCALE = 8  # CPU proxy runs 1/CPU_SCALE of the batches
+
+
+def build_batches():
+    """Synthetic packed batches, no FASTQ involved (device-path bench)."""
+    from pangaea_tpu.io.packing import PackedBatch
+    rng = np.random.RandomState(0)
+    rows_per_batch = 16384
+    n_reads = N_BARCODES * PAIRS_PER_BC * 2
+    reads_per_bc = PAIRS_PER_BC * 2
+    batches = []
+    seg_base = 0
+    for start in range(0, n_reads, rows_per_batch):
+        n = min(rows_per_batch, n_reads - start)
+        codes = np.full((rows_per_batch, 256), 4, np.uint8)
+        codes[:n, :READ_LEN] = rng.randint(0, 4, (n, READ_LEN),
+                                           dtype=np.uint8)
+        lengths = np.zeros(rows_per_batch, np.int32)
+        lengths[:n] = READ_LEN
+        seg = np.full(rows_per_batch, -1, np.int32)
+        seg[:n] = (start + np.arange(n)) // reads_per_bc
+        batches.append(PackedBatch(codes, lengths, seg,
+                                   np.zeros(rows_per_batch, np.uint8)))
+        seg_base += n
+    return batches, n_reads
+
+
+def cpu_feature_baseline(batches, n_groups):
+    """Numpy sort-based feature extraction (the CPU baseline)."""
+    from pangaea_tpu.kernels.encode import (canonical_rank_lut,
+                                            num_canonical_kmers,
+                                            revcomp_kmers_np)
+
+    def window_vals(codes, lengths, k):
+        R, L = codes.shape
+        W = L - k + 1
+        c = codes.astype(np.int64)
+        safe = np.where(c < 4, c, 0)
+        acc = np.zeros((R, W), np.int64)
+        for j in range(k):
+            acc = (acc << 2) | safe[:, j:j + W]
+        bad = (c >= 4).astype(np.int32)
+        cs = np.cumsum(bad, axis=1)
+        nbad = cs[:, k - 1:] - np.pad(cs, ((0, 0), (1, 0)))[:, :W]
+        starts = np.arange(W)[None, :]
+        valid = (nbad == 0) & (starts + k <= lengths[:, None])
+        return acc, valid
+
+    t0 = time.time()
+    ncols = num_canonical_kmers(TNFK)
+    lut = canonical_rank_lut(TNFK)
+    # global pass: sort-based counting (jellyfish-class)
+    parts = []
+    for b in batches:
+        vals, valid = window_vals(b.codes, b.lengths, K)
+        canon = np.minimum(vals, revcomp_kmers_np(vals.astype(np.uint32), K)
+                           .astype(np.int64))
+        parts.append(canon[valid])
+    keys, counts = np.unique(np.concatenate(parts), return_counts=True)
+    del parts
+    # group pass
+    hist = np.zeros(n_groups * VEC, np.int64)
+    thist = np.zeros(n_groups * ncols, np.int64)
+    for b in batches:
+        vals, valid = window_vals(b.codes, b.lengths, K)
+        canon = np.minimum(vals, revcomp_kmers_np(vals.astype(np.uint32), K)
+                           .astype(np.int64))
+        keep = valid & (b.seg_ids[:, None] >= 0)
+        canon_f = canon[keep]
+        pos = np.searchsorted(keys, canon_f)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        cnt = np.where(keys[pos] == canon_f, counts[pos], 0)
+        bins = cnt // WINDOW
+        seg = np.broadcast_to(b.seg_ids[:, None], keep.shape)[keep]
+        ok = (cnt > 0) & (bins < VEC)
+        np.add.at(hist, seg[ok] * VEC + bins[ok], 1)
+        tvals, tvalid = window_vals(b.codes, b.lengths, TNFK)
+        tkeep = tvalid & (b.seg_ids[:, None] >= 0)
+        ranks = lut[tvals[tkeep]]
+        tseg = np.broadcast_to(b.seg_ids[:, None], tkeep.shape)[tkeep]
+        np.add.at(thist, tseg * ncols + ranks, 1)
+    t_feat = time.time() - t0
+    return t_feat, hist.reshape(n_groups, VEC), thist.reshape(n_groups,
+                                                              ncols)
+
+
+def device_features(batches, n_groups):
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.kernels.encode import (canonical_rank_lut,
+                                            num_canonical_kmers)
+    from pangaea_tpu.kernels.features import (abundance_histogram,
+                                              count_kmers_global,
+                                              make_global_table,
+                                              tnf_histogram)
+
+    ncols = num_canonical_kmers(TNFK)
+    lut = jnp.asarray(canonical_rank_lut(TNFK))
+    dev_batches = [(jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                    jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+                   for b in batches]
+
+    # warmup/compile
+    table = make_global_table(K)
+    table = count_kmers_global(table, *[dev_batches[0][i] for i in
+                                        (0, 1, 3)], k=K, overlap=K - 1)
+    hist = jnp.zeros(n_groups * VEC, jnp.int32)
+    thist = jnp.zeros(n_groups * ncols, jnp.int32)
+    hist = abundance_histogram(hist, table, *dev_batches[0], k=K,
+                               window=WINDOW, vector_size=VEC,
+                               overlap=K - 1)
+    thist = tnf_histogram(thist, lut, *dev_batches[0], k=TNFK,
+                          num_cols=ncols, overlap=K - 1)
+    jax.block_until_ready((table, hist, thist))
+
+    t0 = time.time()
+    table = make_global_table(K)
+    for codes, lengths, seg, cont in dev_batches:
+        table = count_kmers_global(table, codes, lengths, cont, k=K,
+                                   overlap=K - 1)
+    hist = jnp.zeros(n_groups * VEC, jnp.int32)
+    thist = jnp.zeros(n_groups * ncols, jnp.int32)
+    for args in dev_batches:
+        hist = abundance_histogram(hist, table, *args, k=K, window=WINDOW,
+                                   vector_size=VEC, overlap=K - 1)
+        thist = tnf_histogram(thist, lut, *args, k=TNFK, num_cols=ncols,
+                              overlap=K - 1)
+    jax.block_until_ready((hist, thist))
+    t_feat = time.time() - t0
+    abd = np.array(hist).reshape(n_groups, VEC)
+    tnf = np.array(thist).reshape(n_groups, ncols)
+    return t_feat, abd, tnf
+
+
+def train_bench(abd, tnf, n_groups, train_steps):
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jrandom
+    from pangaea_tpu.config import ModelConfig
+    from pangaea_tpu.model import BarcodeDataset, VAE, VAETrainer
+    from pangaea_tpu.model.vae import init_vae
+
+    abd = np.array(abd)
+    tnf = np.array(tnf)
+    # guard degenerate all-zero rows for normalization
+    abd[abd.sum(1) == 0, 0] = 1
+    tnf[tnf.sum(1) == 0, 0] = 1
+    names = np.array([f"BC{i}" for i in range(n_groups)])
+    ds = BarcodeDataset(names, abd, tnf)
+    model = VAE(abd_dim=abd.shape[1], tnf_dim=tnf.shape[1])
+    trainer = VAETrainer(model, ModelConfig(batch_size=2048))
+    params, bn = init_vae(jrandom.PRNGKey(0), model)
+    opt = trainer.tx.init(params)
+    abd_all = jnp.asarray(ds.abd)
+    tnf_all = jnp.asarray(ds.tnf)
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, n_groups, (train_steps, min(2048, n_groups))
+                      ).astype(np.int32)
+    mask = np.ones(idx.shape + (1,), np.float32)
+    key = jrandom.PRNGKey(1)
+    # compile
+    p2, o2, b2, k2, _ = trainer._train_block(
+        params, opt, bn, key, abd_all, tnf_all, jnp.asarray(idx[:1]),
+        jnp.asarray(mask[:1]))
+    jax.block_until_ready(p2)
+    t0 = time.time()
+    p2, o2, b2, k2, stats = trainer._train_block(
+        p2, o2, b2, k2, abd_all, tnf_all, jnp.asarray(idx[1:]),
+        jnp.asarray(mask[1:]))
+    jax.block_until_ready(p2)
+    return time.time() - t0
+
+
+def main():
+    cpu_proxy = "--cpu-proxy" in sys.argv
+    if cpu_proxy:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from pangaea_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    batches, n_reads = build_batches()
+    if cpu_proxy:
+        batches = batches[: max(1, len(batches) // CPU_SCALE)]
+        n_reads = sum(int((b.lengths > 0).sum()) for b in batches)
+        steps = max(10, TRAIN_STEPS // CPU_SCALE)
+        t_feat, abd, tnf = cpu_feature_baseline(batches, N_BARCODES)
+    else:
+        steps = TRAIN_STEPS
+        t_feat, abd, tnf = device_features(batches, N_BARCODES)
+    # steps scale with the data slice, so reads/s compares directly;
+    # timed steps are steps-1 (first step compiles) => rescale
+    t_train = train_bench(abd, tnf, N_BARCODES, steps)
+    t_train *= steps / max(steps - 1, 1)
+    reads_per_s = n_reads / (t_feat + t_train)
+    result = {"reads_per_s": reads_per_s, "t_feat": t_feat,
+              "t_train": t_train, "n_reads": n_reads, "steps": steps}
+    if cpu_proxy:
+        print("CPUPROXY " + json.dumps(result))
+        return
+    # spawn the CPU proxy for the baseline
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-proxy"],
+            capture_output=True, text=True, timeout=1200, env=env)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("CPUPROXY ")][-1]
+        cpu = json.loads(line[len("CPUPROXY "):])
+        vs = reads_per_s / cpu["reads_per_s"]
+    except Exception as e:
+        print(f"cpu proxy failed: {e}", file=sys.stderr)
+        vs = float("nan")
+    print(json.dumps({
+        "metric": "feature_extract_plus_vae_binning_throughput",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded feature extraction, training, and clustering must produce the
+same results as single-device execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pangaea_tpu.config import ModelConfig
+from pangaea_tpu.kernels.features import count_kmers_global, make_global_table
+from pangaea_tpu.model import VAE, VAETrainer, init_vae
+from pangaea_tpu.model.dataset import batch_index_matrix
+from pangaea_tpu.parallel import (data_mesh, sharded_lloyd,
+                                  sharded_train_block)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return data_mesh(8)
+
+
+def test_sharded_global_count_matches_single(mesh):
+    rng = np.random.RandomState(0)
+    k = 7
+    codes = rng.randint(0, 4, (64, 64)).astype(np.uint8)
+    lengths = np.full(64, 64, np.int32)
+    cont = np.zeros(64, np.uint8)
+    single = count_kmers_global(make_global_table(k), jnp.asarray(codes),
+                                jnp.asarray(lengths), jnp.asarray(cont),
+                                k=k, overlap=k - 1)
+    codes_s = jax.device_put(jnp.asarray(codes),
+                             NamedSharding(mesh, P("data", None)))
+    lengths_s = jax.device_put(jnp.asarray(lengths),
+                               NamedSharding(mesh, P("data")))
+    cont_s = jax.device_put(jnp.asarray(cont),
+                            NamedSharding(mesh, P("data")))
+    table0 = jax.device_put(make_global_table(k),
+                            NamedSharding(mesh, P()))
+    sharded = count_kmers_global(table0, codes_s, lengths_s, cont_s,
+                                 k=k, overlap=k - 1)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+
+def test_sharded_train_step_matches_replicated(mesh):
+    rng = np.random.RandomState(1)
+    model = VAE(abd_dim=40, tnf_dim=16, hidden_sizes=(32, 32), latent_dim=8,
+                dropout=0.0)
+    cfg = ModelConfig(batch_size=32)
+    trainer = VAETrainer(model, cfg)
+    params, bn = init_vae(jax.random.PRNGKey(0), model)
+    opt = trainer.tx.init(params)
+    abd = jnp.asarray(rng.rand(128, 40).astype(np.float32))
+    tnf = jnp.asarray(rng.rand(128, 16).astype(np.float32))
+    idx, mask = batch_index_matrix(np.arange(128), 32)
+    key = jax.random.PRNGKey(3)
+
+    p1, o1, b1, _, s1 = trainer._train_block(
+        params, opt, bn, key, abd, tnf, jnp.asarray(idx), jnp.asarray(mask))
+
+    params2, bn2 = init_vae(jax.random.PRNGKey(0), model)
+    opt2 = trainer.tx.init(params2)
+    step = sharded_train_block(trainer, mesh)
+    repl = NamedSharding(mesh, P())
+    p2, o2, b2, _, s2 = step(
+        jax.device_put(params2, repl), jax.device_put(opt2, repl),
+        jax.device_put(bn2, repl), jax.device_put(key, repl),
+        jax.device_put(abd, repl), jax.device_put(tnf, repl),
+        jax.device_put(jnp.asarray(idx),
+                       NamedSharding(mesh, P(None, "data"))),
+        jax.device_put(jnp.asarray(mask),
+                       NamedSharding(mesh, P(None, "data", None))))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["out"]["w"]),
+                               np.asarray(p2["out"]["w"]), rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_sharded_lloyd_matches_single(mesh):
+    from pangaea_tpu.cluster.kmeans import kmeans_lloyd
+    rng = np.random.RandomState(2)
+    centers = rng.randn(4, 8).astype(np.float32) * 4
+    lab = rng.randint(0, 4, 256)
+    X = (centers[lab] + rng.randn(256, 8) * 0.2).astype(np.float32)
+    init = X[[0, 50, 100, 200]]
+    C1, l1, in1, _ = kmeans_lloyd(X, init)
+    lloyd = sharded_lloyd(mesh)
+    tol = np.float32(1e-4 * X.var(axis=0).mean())
+    C2, l2, in2, _ = lloyd(
+        jax.device_put(jnp.asarray(X), NamedSharding(mesh, P("data", None))),
+        jax.device_put(jnp.ones(256, jnp.float32),
+                       NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(init), NamedSharding(mesh, P())),
+        jnp.asarray(tol))
+    np.testing.assert_allclose(float(in1), float(in2), rtol=1e-3)
+    from sklearn.metrics import adjusted_rand_score
+    assert adjusted_rand_score(l1, np.asarray(l2)) == 1.0
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (256, 32)
+    g.dryrun_multichip(8)
