@@ -81,18 +81,37 @@ class FeatureExtractor:
 
     # ---- passes -----------------------------------------------------------
 
-    def global_kmer_table(self, reads1: str = "", reads2: str = "",
-                          interleaved: str = "") -> jnp.ndarray:
+    def _global_batches(self, reads1: str, reads2: str, interleaved: str):
+        """Native C++ reader when available; Python packer otherwise."""
         c = self.cfg
-        # --min-qual-char=? only on the paired path (src/feature.py:76-86)
         min_qual = c.min_qual_char if (reads1 and reads2) else None
+        # path choice is made eagerly (never mid-stream, which could
+        # double-count); OverlongReadError propagates with advice
+        use_native = False
+        try:
+            from pangaea_tpu.native import native_available
+            use_native = native_available()
+        except Exception as e:
+            log.warning("native IO unavailable (%s)", e)
+        if use_native:
+            from pangaea_tpu.io.fast_packing import native_seq_batches
+            paths = [interleaved] if interleaved else [reads1, reads2]
+            yield from native_seq_batches(
+                paths, c.max_read_len, c.reads_per_batch,
+                min_qual_char=min_qual)
+            return
         packer = ReadPacker(max_read_len=c.max_read_len, overlap=c.kmer - 1,
                             reads_per_batch=c.reads_per_batch,
                             min_qual_char=min_qual)
+        yield from packer.iter_batches(
+            self._seq_stream(reads1, reads2, interleaved))
+
+    def global_kmer_table(self, reads1: str = "", reads2: str = "",
+                          interleaved: str = "") -> jnp.ndarray:
+        c = self.cfg
         table = make_global_table(c.kmer)
         n = 0
-        for b in packer.iter_batches(
-                self._seq_stream(reads1, reads2, interleaved)):
+        for b in self._global_batches(reads1, reads2, interleaved):
             table = count_kmers_global(
                 table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.cont), k=c.kmer, overlap=c.kmer - 1)
@@ -111,13 +130,27 @@ class FeatureExtractor:
         lut = jnp.asarray(canonical_rank_lut(c.tnf_kmer))
         gp = GroupPacker(min_len=c.min_length, max_read_len=c.max_read_len,
                          overlap=overlap, reads_per_batch=c.reads_per_batch)
-        groups = iter_barcode_groups(
-            self._pair_stream(reads1, reads2, interleaved),
-            bug_compat=c.bug_compat_boundary_leak)
+        use_native = False
+        if interleaved and c.bug_compat_boundary_leak:
+            try:
+                from pangaea_tpu.native import native_available
+                use_native = native_available()
+            except Exception:
+                pass
+        if use_native:
+            from pangaea_tpu.io.fast_packing import native_group_chunks
+            chunks = native_group_chunks(
+                interleaved, c.min_length, c.max_read_len,
+                c.reads_per_batch, gp.groups_per_chunk)
+        else:
+            groups = iter_barcode_groups(
+                self._pair_stream(reads1, reads2, interleaved),
+                bug_compat=c.bug_compat_boundary_leak)
+            chunks = gp.iter_chunks(groups)
         G = gp.groups_per_chunk
         names: List[str] = []
         abd_rows, tnf_rows = [], []
-        for chunk in gp.iter_chunks(groups):
+        for chunk in chunks:
             hist = jnp.zeros(G * c.vector_size, jnp.int32)
             thist = jnp.zeros(G * ncols, jnp.int32)
             for b in chunk.batches:

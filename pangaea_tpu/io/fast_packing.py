@@ -1,0 +1,235 @@
+"""Fast host path: native C++ FASTQ reader + vectorized numpy grouping.
+
+Produces the same PackedBatch/GroupChunk stream as io/packing.py (the
+pure-Python reference implementation, kept as the behavioral oracle and
+fallback) but with the hot loops in C++ (gzip+parse+encode, native/) and
+numpy (barcode grouping as cumsum/searchsorted over byte arrays).
+
+Grouping math (replicating iter_barcode_groups bug_compat=True, i.e. the
+reference's boundary leak — see io/grouping.py):
+
+  changes[j] = B[j] != B[j-1]  (B[-1] = "")
+  pair j joins the flush at the first change position >= j (or the final
+  flush) => group_id(j) = searchsorted(change_positions, j)
+  group names = [""] + B[change_positions]  (flush g emits the barcode
+  seen *before* it; the final flush emits the last barcode)
+
+Restriction: reads longer than max_read_len are not supported on this
+path (the stream encoder truncates); the caller falls back to the Python
+packer. Linked short reads are ~150 bp, so this is the hot path in
+practice.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from pangaea_tpu.io.packing import GroupChunk, PackedBatch
+
+log = logging.getLogger(__name__)
+
+
+class OverlongReadError(RuntimeError):
+    pass
+
+
+def _reader(path: str, max_len: int, min_qual_char, bc_width: int = 48):
+    from pangaea_tpu.native import NativeFastqReader
+    return NativeFastqReader(path, max_len=max_len,
+                             min_qual_char=min_qual_char,
+                             barcode_width=bc_width)
+
+
+def native_seq_batches(paths: List[str], max_read_len: int,
+                       reads_per_batch: int,
+                       min_qual_char: Optional[str] = None
+                       ) -> Iterator[PackedBatch]:
+    """Global-pass batches (all reads, no grouping)."""
+    zero_cont = np.zeros(reads_per_batch, np.uint8)
+    zero_seg = np.zeros(reads_per_batch, np.int32)
+    for path in paths:
+        with _reader(path, max_read_len, min_qual_char) as rd:
+            while True:
+                out = rd.read(reads_per_batch)
+                if out is None:
+                    break
+                codes, lengths, _ = out
+                if int(lengths.max(initial=0)) > max_read_len:
+                    raise OverlongReadError(
+                        f"read longer than max_read_len={max_read_len}")
+                n = len(lengths)
+                if n < reads_per_batch:
+                    pad_c = np.full((reads_per_batch, max_read_len), 4,
+                                    np.uint8)
+                    pad_c[:n] = codes
+                    pad_l = np.zeros(reads_per_batch, np.int32)
+                    pad_l[:n] = lengths
+                    codes, lengths = pad_c, pad_l
+                yield PackedBatch(codes, lengths, zero_seg, zero_cont)
+
+
+def _group_pairs(bcs: np.ndarray, prev_last: bytes
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(group_id per pair, change_positions, names array incl. leading '')
+
+    bcs: (P,) bytes array of per-pair barcodes; prev_last: the running
+    last_barcode from the previous buffer ("" at stream start).
+    """
+    P = len(bcs)
+    prev = np.concatenate([np.array([prev_last], dtype=bcs.dtype),
+                           bcs[:-1]])
+    changes = bcs != prev
+    pos = np.flatnonzero(changes)
+    gid = np.searchsorted(pos, np.arange(P), side="left")
+    return gid, pos, bcs[pos] if len(pos) else bcs[:0]
+
+
+def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
+                        reads_per_batch: int, groups_per_chunk: int = 8192,
+                        pairs_per_buffer: int = 262144
+                        ) -> Iterator[GroupChunk]:
+    """GroupChunk stream equivalent to GroupPacker.iter_chunks(
+    iter_barcode_groups(iter_read_pairs_interleaved(path)))."""
+    rd = _reader(interleaved, max_read_len, None)
+
+    # carry state across buffers
+    last_barcode = b""  # the reference's running last_barcode
+    carry_codes: Optional[np.ndarray] = None
+    carry_lengths: Optional[np.ndarray] = None
+    carry_bcs: Optional[np.ndarray] = None
+
+    # chunk assembly state
+    chunk_names: List[str] = []
+    chunk_batches: List[PackedBatch] = []
+    row_codes: List[np.ndarray] = []
+    row_lengths: List[np.ndarray] = []
+    row_segs: List[np.ndarray] = []
+
+    def close_chunk() -> GroupChunk:
+        nonlocal chunk_names, chunk_batches, row_codes, row_lengths, row_segs
+        flush_rows()
+        chunk = GroupChunk(chunk_names, chunk_batches)
+        chunk_names, chunk_batches = [], []
+        return chunk
+
+    def flush_rows() -> None:
+        """Pack accumulated rows into fixed-size PackedBatches."""
+        nonlocal row_codes, row_lengths, row_segs
+        if not row_codes:
+            return
+        codes = np.concatenate(row_codes)
+        lengths = np.concatenate(row_lengths)
+        segs = np.concatenate(row_segs)
+        row_codes, row_lengths, row_segs = [], [], []
+        R = reads_per_batch
+        for start in range(0, len(lengths), R):
+            n = min(R, len(lengths) - start)
+            bc = np.full((R, max_read_len), 4, np.uint8)
+            bc[:n] = codes[start:start + n]
+            bl = np.zeros(R, np.int32)
+            bl[:n] = lengths[start:start + n]
+            bs = np.full(R, -1, np.int32)
+            bs[:n] = segs[start:start + n]
+            chunk_batches.append(PackedBatch(bc, bl, bs,
+                                             np.zeros(R, np.uint8)))
+
+    def emit_groups(codes, lengths, bcs, final: bool):
+        """Process complete pairs; returns leftover tail (open group)."""
+        nonlocal last_barcode
+        if len(bcs) == 0:
+            return None
+        gid, pos, flush_names = _group_pairs(bcs, last_barcode)
+        if not final:
+            if len(pos) == 0:
+                return codes, lengths, bcs  # no flush possible yet
+            # pairs at/after the last change belong to open groups
+            cut = pos[-1]
+            # groups 0..len(pos)-1 are NOT all closed: the group flushed
+            # at pos[-1] is closed, but pairs AFTER pos[-1] are open.
+            complete_pairs = cut + 1
+            open_codes = codes[2 * complete_pairs:]
+            open_lengths = lengths[2 * complete_pairs:]
+            open_bcs = bcs[complete_pairs:]
+            codes = codes[:2 * complete_pairs]
+            lengths = lengths[:2 * complete_pairs]
+            bcs = bcs[:complete_pairs]
+            gid = gid[:complete_pairs]
+            n_groups = len(pos)
+            names = np.concatenate([[last_barcode], flush_names[:-1]])
+            last_barcode = bytes(flush_names[-1])
+        else:
+            open_codes = open_lengths = open_bcs = None
+            n_groups = len(pos) + 1
+            names = np.concatenate([[last_barcode], flush_names]) \
+                if len(pos) else np.array([last_barcode], dtype=bcs.dtype if len(bcs) else object)
+            if len(bcs):
+                last_barcode = bytes(bcs[-1])
+
+        if len(bcs):
+            # group filter: barcode nonempty & concat length > min_len
+            # (count_kmer.cpp:62-63; concat len = sum(len+1) per read)
+            pair_contrib = (lengths[0::2].astype(np.int64)
+                            + lengths[1::2] + 2)
+            glen = np.zeros(n_groups, np.int64)
+            np.add.at(glen, gid, pair_contrib)
+            names = np.asarray(names)
+            nonempty = np.array([len(x) > 0 for x in names])
+            kept = nonempty & (glen > min_len)
+            # assign chunk-local ids slice-wise so a chunk never mixes
+            # ids from two chunks when it fills mid-buffer
+            kept_idx = np.flatnonzero(kept)
+            i = 0
+            while i < len(kept_idx):
+                space = groups_per_chunk - len(chunk_names)
+                take = kept_idx[i:i + space]
+                local = np.full(n_groups, -1, np.int32)
+                local[take] = len(chunk_names) + np.arange(len(take),
+                                                           dtype=np.int32)
+                chunk_names.extend(names[g].decode() for g in take)
+                pair_seg = local[gid]
+                read_seg = np.repeat(pair_seg, 2)
+                keep_rows = read_seg >= 0
+                if keep_rows.any():
+                    row_codes.append(codes[keep_rows])
+                    row_lengths.append(lengths[keep_rows])
+                    row_segs.append(read_seg[keep_rows])
+                i += len(take)
+                if len(chunk_names) == groups_per_chunk:
+                    yield close_chunk()
+        if open_codes is not None:
+            return open_codes, open_lengths, open_bcs
+        return None
+
+    while True:
+        out = rd.read(2 * pairs_per_buffer)
+        final = out is None
+        if final:
+            codes = np.zeros((0, max_read_len), np.uint8)
+            lengths = np.zeros(0, np.int32)
+            bcs = np.array([], dtype="S48")
+        else:
+            codes, lengths, bcs = out
+            if len(lengths) % 2:  # trailing unpaired record: drop
+                codes, lengths, bcs = codes[:-1], lengths[:-1], bcs[:-1]
+            if int(lengths.max(initial=0)) > max_read_len:
+                rd.close()
+                raise OverlongReadError(
+                    f"read longer than max_read_len={max_read_len}")
+            bcs = bcs[0::2]  # per-pair barcode = R1's (interleaved)
+        if carry_codes is not None:
+            codes = np.concatenate([carry_codes, codes])
+            lengths = np.concatenate([carry_lengths, lengths])
+            bcs = np.concatenate([carry_bcs, bcs])
+        carry_codes = carry_lengths = carry_bcs = None
+
+        tail = yield from emit_groups(codes, lengths, bcs, final)
+        if final:
+            break
+        if tail is not None:
+            carry_codes, carry_lengths, carry_bcs = tail
+    rd.close()
+    if chunk_names or row_codes:
+        yield close_chunk()

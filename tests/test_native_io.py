@@ -1,0 +1,113 @@
+"""Native C++ IO path vs the pure-Python oracle path: identical outputs."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from pangaea_tpu.config import FeatureConfig
+from pangaea_tpu.features import FeatureExtractor
+from pangaea_tpu.io.sim import simulate_linked_reads
+
+native = pytest.importorskip("pangaea_tpu.native")
+if not native.native_available():
+    pytest.skip("native IO build unavailable", allow_module_level=True)
+
+
+def test_native_reader_basic(tmp_path):
+    from pangaea_tpu.native import NativeFastqReader
+    path = str(tmp_path / "r.fq.gz")
+    with gzip.open(path, "wt") as f:
+        f.write("@r1\tBX:Z:AAAC-1\nACGTN\n+\nIIIII\n")
+        f.write("@r2#12_0_3/1\nGGGG\n+\nIIII\n")
+    with NativeFastqReader(path, max_len=8, name_width=16) as rd:
+        codes, lengths, bcs, names = rd.read(10)
+    assert lengths.tolist() == [5, 4]
+    # (ascii>>1)&3: A=0 C=1 G=3 T=2; N/pad = 4
+    assert codes[0].tolist() == [0, 1, 3, 2, 4, 4, 4, 4]
+    assert bcs[0] == b"AAAC"
+    # sticky type: first header said 10x, '#' header parsed as 10x too
+    assert names[0] == b"r1"
+    assert names[1] == b"r2#12_0_3/1"
+    assert bcs[1] == b""
+
+
+def test_native_reader_stlfr_sticky(tmp_path):
+    from pangaea_tpu.native import NativeFastqReader
+    path = str(tmp_path / "r.fq")
+    with open(path, "w") as f:
+        f.write("@r1#1_2_3/1\nACGT\n+\nIIII\n")
+        f.write("@r2#0_0_0/1\nACGT\n+\nIIII\n")
+    with NativeFastqReader(path, max_len=8, name_width=16) as rd:
+        _, _, bcs, names = rd.read(10)
+    assert bcs.tolist() == [b"1_2_3", b""]
+    assert names.tolist() == [b"r1", b"r2"]
+
+
+def test_native_reader_quality_mask(tmp_path):
+    from pangaea_tpu.native import NativeFastqReader
+    path = str(tmp_path / "r.fq")
+    with open(path, "w") as f:
+        f.write("@r1\nACGT\n+\n!I!I\n")  # '!' (33) below '?' (63)
+    with NativeFastqReader(path, max_len=4, min_qual_char="?") as rd:
+        codes, lengths, _ = rd.read(1)
+    assert codes[0].tolist() == [4, 1, 4, 2]
+
+
+@pytest.fixture(scope="module")
+def simfile(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nativeio")
+    path = str(d / "reads.fq.gz")
+    simulate_linked_reads(out_interleaved=path, n_species=3,
+                          genome_len=20_000, n_barcodes=120,
+                          pairs_per_barcode=25, seed=21)
+    return path
+
+
+def extract(path, tmpdir, force_python: bool):
+    cfg = FeatureConfig(reads_per_batch=4096)
+    fe = FeatureExtractor(cfg, str(tmpdir))
+    if force_python:
+        import pangaea_tpu.native as nat
+        saved = nat.native_available
+        nat.native_available = lambda: False
+        try:
+            out = fe.extract_features(interleaved=path)
+        finally:
+            nat.native_available = saved
+    else:
+        out = fe.extract_features(interleaved=path)
+    return out
+
+
+def test_native_features_match_python(simfile, tmp_path):
+    n_names, n_abd, n_tnf = extract(simfile, tmp_path / "nat", False)
+    p_names, p_abd, p_tnf = extract(simfile, tmp_path / "py", True)
+    assert n_names.tolist() == p_names.tolist()
+    np.testing.assert_array_equal(n_abd, p_abd)
+    np.testing.assert_array_equal(n_tnf, p_tnf)
+
+
+def test_native_group_chunks_small_chunksize(simfile, tmp_path):
+    """Chunk splitting mid-buffer keeps ids consistent."""
+    from pangaea_tpu.io.fast_packing import native_group_chunks
+    from pangaea_tpu.io.grouping import (iter_barcode_groups,
+                                         iter_read_pairs_interleaved)
+    from pangaea_tpu.io.packing import GroupPacker
+    chunks = list(native_group_chunks(simfile, 2000, 256, 512,
+                                      groups_per_chunk=16,
+                                      pairs_per_buffer=100))
+    gp = GroupPacker(min_len=2000, max_read_len=256, overlap=14,
+                     reads_per_batch=512, groups_per_chunk=16)
+    ref = list(gp.iter_chunks(iter_barcode_groups(
+        iter_read_pairs_interleaved(simfile))))
+    assert [c.names for c in chunks] == [c.names for c in ref]
+    # same rows per (chunk, seg): compare multisets of (seg, length)
+    for cn, cr in zip(chunks, ref):
+        got = sorted((int(s), int(l))
+                     for b in cn.batches
+                     for s, l in zip(b.seg_ids, b.lengths) if s >= 0)
+        want = sorted((int(s), int(l))
+                      for b in cr.batches
+                      for s, l in zip(b.seg_ids, b.lengths) if s >= 0)
+        assert got == want
