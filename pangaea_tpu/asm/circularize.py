@@ -50,23 +50,78 @@ def terminal_windows(contigs_fa: str, out_fa: str,
     return len(recs)
 
 
+def _overcirc_external(runner: ToolRunner, name: str, seq: str,
+                       workdir: str):
+    """encircle path: nucmer self-alignment -> smoothed corner-cut test."""
+    import subprocess
+
+    from pangaea_tpu.asm.circular_logic import (overcirc_region,
+                                                parse_show_coords)
+    tig_fa = os.path.join(workdir, f"{name}.fa")
+    write_fasta(tig_fa, [(name, seq)])
+    delta = os.path.join(workdir, name)
+    # encircle.py:19-27 parameters
+    runner.run(["nucmer", "-p", delta, "-b", "4000", "-l", "2000",
+                "--maxmatch", tig_fa, tig_fa], log_name="nucmer.log")
+    coords = subprocess.run(
+        ["show-coords", "-T", "-L", "2000", delta + ".delta"],
+        capture_output=True, text=True, check=True).stdout
+    rows = parse_show_coords("\n".join(coords.splitlines()[4:]))
+    region = overcirc_region(rows)
+    if region is None:
+        return None
+    start, end = region
+    return seq[start - 1:end]  # 1-based inclusive region kept
+
+
 def make_circularizer(cfg: PangaeaConfig, runner: ToolRunner
                       ) -> Optional[Callable[[str, str, str], str]]:
-    """Returns circularize(contigs, reads, workdir) -> out_fa, or None."""
+    """Returns circularize(contigs, reads, workdir) -> out_fa.
+
+    Per long contig (> cfg.assembly.circularize_min_size): detect
+    over-circularization and trim. With nucmer installed the Lathe
+    encircle self-alignment test runs; otherwise the builtin exact
+    terminal-repeat test (asm/circular_logic.exact_overlap_trim). The
+    trimmed sequences replace their originals in the output fasta
+    (Lathe Snakefile circularize_final, :190-210).
+    """
 
     def circularize(contigs_fa: str, reads_fa: str, workdir: str) -> str:
-        for tool in ("flye", "nucmer"):
-            runner.require(tool)
+        from pangaea_tpu.asm.circular_logic import exact_overlap_trim
         circ_dir = os.path.join(workdir, "circular")
         os.makedirs(circ_dir, exist_ok=True)
-        long_fa = os.path.join(circ_dir, "long_contigs.fa")
-        n = extract_long_contigs(contigs_fa, long_fa,
-                                 cfg.assembly.circularize_min_size)
-        if n == 0:
-            log.info("no contigs above %d bp; circularization is a no-op",
-                     cfg.assembly.circularize_min_size)
-            return contigs_fa
-        raise NotImplementedError(
-            "span-circle alignment port pending (Lathe spancircle.py)")
+        min_size = cfg.assembly.circularize_min_size
+        use_nucmer = runner.available("nucmer")
+        out_fa = os.path.join(circ_dir, "circularized.fasta")
+        n_circ = 0
+
+        def gen():
+            nonlocal n_circ
+            for name, seq in iter_fasta(contigs_fa):
+                short = name.split()[0]
+                if len(seq) >= min_size:
+                    trimmed = None
+                    if use_nucmer:
+                        try:
+                            trimmed = _overcirc_external(runner, short, seq,
+                                                         circ_dir)
+                        except Exception as e:
+                            log.warning("nucmer encircle failed on %s: %s",
+                                        short, e)
+                    if trimmed is None:
+                        keep = exact_overlap_trim(seq)
+                        if keep is not None:
+                            trimmed = seq[:keep]
+                    if trimmed is not None:
+                        log.info("circularized %s: %d -> %d bp", short,
+                                 len(seq), len(trimmed))
+                        n_circ += 1
+                        yield f"{short}_circularized", trimmed
+                        continue
+                yield name, seq
+
+        write_fasta(out_fa, gen())
+        log.info("circularization: %d contig(s) trimmed", n_circ)
+        return out_fa
 
     return circularize
