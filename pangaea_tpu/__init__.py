@@ -23,3 +23,24 @@ the implementation here is TPU-first, not a translation.
 __version__ = "0.1.0"
 
 from pangaea_tpu.config import PangaeaConfig  # noqa: F401
+
+_LAZY = {
+    "FeatureExtractor": ("pangaea_tpu.features", "FeatureExtractor"),
+    "BarcodeDataset": ("pangaea_tpu.model", "BarcodeDataset"),
+    "VAE": ("pangaea_tpu.model", "VAE"),
+    "VAETrainer": ("pangaea_tpu.model", "VAETrainer"),
+    "RPHKMeans": ("pangaea_tpu.cluster", "RPHKMeans"),
+    "clustering_rph_kmeans": ("pangaea_tpu.cluster", "clustering_rph_kmeans"),
+    "select_k_with_bic": ("pangaea_tpu.cluster", "select_k_with_bic"),
+    "Pipeline": ("pangaea_tpu.pipeline", "Pipeline"),
+}
+
+
+def __getattr__(name):
+    """Lazy re-exports of the heavier layers (model/cluster/pipeline pull
+    in jax/optax/sklearn; keep base import light)."""
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import re  # noqa: F401  (used in find_latest_mpa_index)
 from typing import List
 
 from pangaea_tpu.asm.tools import ToolRunner
@@ -51,23 +52,77 @@ def shannon_from_profile(profile_path: str) -> float:
     return h
 
 
+def find_latest_mpa_index(db_dir: str) -> str:
+    """Latest ``mpa_v*.1.bt2l`` index prefix (calculate_diversity.sh:13-37)."""
+    import re
+    candidates = []
+    for name in os.listdir(db_dir):
+        if re.match(r"^mpa_v[^ ]+\.1\.bt2l$", name) and ".rev." not in name:
+            candidates.append(name[: -len(".1.bt2l")])
+    if not candidates:
+        raise FileNotFoundError(
+            f"No valid MetaPhlAn database index found in '{db_dir}'")
+    return sorted(candidates)[-1]
+
+
+def merge_metaphlan_tables(profiles: List[str], out_path: str) -> None:
+    """Table join of metaphlan profiles (src/scripts/metaphlan_tables.py:
+    clade x sample relative-abundance matrix, missing clades -> 0)."""
+    headers = None
+    columns = []  # (sample_name, {clade: abund})
+    version = None
+    for path in profiles:
+        hdr = []
+        with open(path) as f:
+            for line in f:
+                if not line.startswith("#"):
+                    break
+                hdr.append(line.strip())
+        if hdr and version is None:
+            version = hdr[0]
+        data = {}
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 3:
+                    data[parts[0]] = parts[2]
+        sample = os.path.splitext(os.path.basename(path))[0].replace(
+            "_profile", "")
+        columns.append((sample, data))
+    clades = sorted({c for _, d in columns for c in d})
+    with open(out_path, "w") as out:
+        if version:
+            out.write(version + "\n")
+        out.write("clade_name\t" + "\t".join(s for s, _ in columns) + "\n")
+        for clade in clades:
+            out.write(clade + "\t" + "\t".join(
+                d.get(clade, "0") for _, d in columns) + "\n")
+
+
 def metaphlan_shannon(reads: str, db_path: str, workdir: str,
                       threads: int = 8) -> float:
-    """Run metaphlan and return the Shannon diversity; writes
-    ``metaphlan_tmp/diversity_analysis/profiles_table_shannon.txt`` for
-    parity with the reference's layout (src/clustering.py:100)."""
+    """Run metaphlan (offline, latest index — calculate_diversity.sh:59)
+    and return the Shannon diversity; writes the reference's
+    ``metaphlan_tmp/diversity_analysis/profiles_table_shannon.txt``
+    layout (src/clustering.py:100). The R microbiome::diversity stage is
+    replaced by the direct computation."""
     runner = ToolRunner(log_dir=workdir)
     runner.require("metaphlan")
     tmp = os.path.join(workdir, "metaphlan_tmp")
     div_dir = os.path.join(tmp, "diversity_analysis")
     os.makedirs(div_dir, exist_ok=True)
-    profile = os.path.join(tmp, "profile.txt")
-    bt2 = os.path.join(tmp, "bowtie2.bz2")
+    profile = os.path.join(tmp, "profiled.txt")
+    bt2 = os.path.join(tmp, "metagenome_from_reads.bowtie2.bz2")
     if not os.path.isfile(profile):
-        runner.run(["metaphlan", reads, "--input_type", "fastq",
-                    "--bowtie2db", db_path, "--bowtie2out", bt2,
-                    "--nproc", str(threads), "-o", profile],
-                   log_name="metaphlan.log")
+        index = find_latest_mpa_index(db_path)
+        runner.run(["metaphlan", reads, "--offline", "--index", index,
+                    "--input_type", "fastq", "--bowtie2db", db_path,
+                    "--bowtie2out", bt2, "--nproc", str(threads),
+                    "-o", profile], log_name="metaphlan.log")
+    merge_metaphlan_tables([profile, profile],
+                           os.path.join(tmp, "profiles_table.tsv"))
     h = shannon_from_profile(profile)
     with open(os.path.join(div_dir, "profiles_table_shannon.txt"), "w") as f:
         f.write(f"{h}\n")

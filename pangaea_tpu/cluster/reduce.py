@@ -108,17 +108,32 @@ def _pow2_pad(n: int, floor: int = 256) -> int:
 
 
 class RPPointReducer:
-    """fit_transform(X) -> (reduced_X, weights, labels, n_iter)."""
+    """fit_transform(X) -> (reduced_X, weights, labels, n_iter).
+
+    Bucket-improvement modes (point_reducer_py.py:105-149) — ``radius``,
+    ``min_bkt_size``, ``min_center_dist`` — are part of the rph_kmeans
+    public API though Pangaea never enables them (src/clustering.py:17);
+    they need per-bucket member lists, so when one is requested the
+    reduction runs on the numpy path instead of the XLA segment-sum path.
+    """
 
     def __init__(self, w: Optional[float] = None, max_point: int = 2000,
                  proj_num: int = 5, max_iter: int = 1000,
                  sample_dist_num: int = 1000,
+                 bkt_improve: Optional[str] = None,
+                 radius_divide: Optional[float] = None,
+                 bkt_size_keepr: float = 1.0,
+                 center_dist_keepr: float = 1.0,
                  rng: Optional[np.random.RandomState] = None):
         self.w = w
         self.max_point = max_point
         self.proj_num = proj_num
         self.max_iter = max_iter
         self.sample_dist_num = sample_dist_num
+        self.bkt_improve = bkt_improve
+        self.radius2 = radius_divide ** 2 if radius_divide else None
+        self.bkt_size_keepr = bkt_size_keepr
+        self.center_dist_keepr = center_dist_keepr
         self.rng = rng or np.random.RandomState()
 
     def get_w(self, X: np.ndarray) -> float:
@@ -139,6 +154,8 @@ class RPPointReducer:
         w = self.get_w(X)
         if self.max_point >= n:
             return (X, np.ones(n, X.dtype), np.arange(n, dtype=np.uint32), 0)
+        if self.bkt_improve is not None:
+            return self._fit_transform_numpy(X, w)
 
         size = _pow2_pad(n)
         x = jnp.zeros((size, dim), jnp.float32).at[:n].set(X)
@@ -177,6 +194,93 @@ class RPPointReducer:
         # and weights, never the labels, for Pangaea's path).
         labels = _nearest_labels(jnp.asarray(X), jnp.asarray(reduced_x))
         return reduced_x, weights, np.asarray(labels).astype(np.uint32), it
+
+
+    # ---- numpy path (bucket-improvement modes) --------------------------
+
+    def _fit_transform_numpy(self, X: np.ndarray, w: float):
+        """Dict-bucketing reduction with bucket improvement
+        (point_reducer_py.py:47-149 contract)."""
+        n, dim = X.shape
+        reduced = X
+        weight = np.ones(n, np.float64)
+        it = 0
+        while it < self.max_iter and len(reduced) > self.max_point:
+            proj = self.rng.normal(0.0, 1.0 / w,
+                                   (dim, self.proj_num)).astype(np.float32)
+            b = self.rng.uniform(0, 1, self.proj_num).astype(np.float32)
+            keys = (reduced @ proj + b).astype(np.int32)
+            buckets = {}
+            for i in range(len(reduced)):
+                buckets.setdefault(keys[i].tobytes(), []).append(i)
+            groups = [v for v in buckets.values() if len(v) > 1]
+            orphans = [v[0] for v in buckets.values() if len(v) == 1]
+            if self.bkt_improve == "radius" and self.radius2 is not None:
+                groups, orphans = self._radius_improve(groups, orphans,
+                                                       reduced)
+            elif (self.bkt_improve == "min_bkt_size"
+                  and self.bkt_size_keepr < 1.0):
+                groups, orphans = self._keepr_improve(
+                    groups, orphans, [len(g) for g in groups],
+                    self.bkt_size_keepr)
+            elif (self.bkt_improve == "min_center_dist"
+                  and self.center_dist_keepr < 1.0):
+                meds = []
+                for g in groups:
+                    c = reduced[g].mean(axis=0)
+                    meds.append(float(np.median(
+                        np.square(reduced[g] - c).sum(axis=1))))
+                groups, orphans = self._keepr_improve(
+                    groups, orphans, meds, self.center_dist_keepr)
+            new_x, new_w = [], []
+            for g in groups:
+                wt = weight[g]
+                tot = wt.sum()
+                new_x.append((reduced[g] * wt[:, None]).sum(axis=0) / tot)
+                new_w.append(tot)
+            for o in orphans:
+                new_x.append(reduced[o])
+                new_w.append(weight[o])
+            reduced = np.asarray(new_x, dtype=np.float32)
+            weight = np.asarray(new_w, dtype=np.float64)
+            it += 1
+        labels = np.asarray(_nearest_labels(
+            jnp.asarray(X), jnp.asarray(reduced))).astype(np.uint32)
+        return reduced, weight.astype(np.float32), labels, it
+
+    @staticmethod
+    def _keepr_improve(groups, orphans, scores, keepr):
+        """min_bkt_size / min_center_dist: keep the keepr fraction with the
+        smallest score, orphan the rest (point_reducer_py.py:131-149)."""
+        order = np.argsort(scores)
+        keep_num = int(len(groups) * keepr)
+        kept = [groups[i] for i in order[:keep_num]]
+        for i in order[keep_num:]:
+            orphans.extend(groups[i])
+        return kept, orphans
+
+    def _radius_improve(self, groups, orphans, X):
+        """Greedy radius sub-clustering per bucket
+        (point_reducer_py.py:105-129)."""
+        new_groups = []
+        for bkt in groups:
+            pts = X[bkt]
+            centers = [0]
+            sub = [[0]]
+            for i in range(1, len(bkt)):
+                d2 = np.square(pts[centers] - pts[i]).sum(axis=1)
+                c = int(np.argmin(d2))
+                if d2[c] < self.radius2:
+                    sub[c].append(i)
+                else:
+                    centers.append(i)
+                    sub.append([i])
+            for g in sub:
+                if len(g) == 1:
+                    orphans.append(bkt[g[0]])
+                else:
+                    new_groups.append([bkt[r] for r in g])
+        return new_groups, orphans
 
 
 @jax.jit

@@ -1,0 +1,116 @@
+"""Coverage for the auxiliary surfaces: bucket-improvement modes,
+metaphlan table merge, barcode-boundary sharding, profiling, quickstart
+config plumbing."""
+
+import os
+
+import numpy as np
+
+from pangaea_tpu.cluster import RPHKMeans
+from pangaea_tpu.cluster.reduce import RPPointReducer
+
+
+def blobs(n=1500, k=4, d=6, spread=0.3, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 4
+    lab = rng.randint(0, k, n)
+    return (centers[lab] + rng.randn(n, d) * spread).astype(np.float32), lab
+
+
+def test_reducer_bkt_improve_modes():
+    X, _ = blobs()
+    for mode, kwargs in [
+        ("radius", {"radius_divide": 1.0}),
+        ("min_bkt_size", {"bkt_size_keepr": 0.8}),
+        ("min_center_dist", {"center_dist_keepr": 0.8}),
+    ]:
+        red = RPPointReducer(max_point=200, bkt_improve=mode,
+                             rng=np.random.RandomState(0), **kwargs)
+        skel, w, labels, it = red.fit_transform(X)
+        assert it >= 1
+        np.testing.assert_allclose(w.sum(), len(X), rtol=1e-5)
+        np.testing.assert_allclose((skel * w[:, None]).sum(0), X.sum(0),
+                                   rtol=1e-2)
+
+
+def test_rph_kmeans_with_bkt_improve():
+    from sklearn.metrics import adjusted_rand_score
+    X, lab = blobs(n=2500, k=4)
+    clt = RPHKMeans(n_clusters=4, n_init=2, bkt_improve="min_bkt_size",
+                    bkt_size_keepr=0.9, max_point=300, random_state=0)
+    pred = clt.fit_predict(X)
+    assert adjusted_rand_score(lab, pred) > 0.95
+
+
+def test_merge_metaphlan_tables(tmp_path):
+    from pangaea_tpu.asm.diversity import (merge_metaphlan_tables,
+                                           shannon_from_profile)
+    p1 = str(tmp_path / "a_profile.txt")
+    with open(p1, "w") as f:
+        f.write("#mpa_vOct22\n#clade_name\tNCBI\trelative_abundance\n")
+        f.write("k__Bacteria\t2\t100.0\n")
+        f.write("k__Bacteria|s__Ecoli\t2|561\t60.0\n")
+        f.write("k__Bacteria|s__Bsub\t2|1423\t40.0\n")
+    p2 = str(tmp_path / "b_profile.txt")
+    with open(p2, "w") as f:
+        f.write("#mpa_vOct22\n#clade_name\tNCBI\trelative_abundance\n")
+        f.write("k__Bacteria|s__Ecoli\t2|561\t100.0\n")
+    out = str(tmp_path / "merged.tsv")
+    merge_metaphlan_tables([p1, p2], out)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "#mpa_vOct22"
+    assert lines[1].split("\t") == ["clade_name", "a", "b"]
+    rows = {l.split("\t")[0]: l.split("\t")[1:] for l in lines[2:]}
+    assert rows["k__Bacteria|s__Bsub"] == ["40.0", "0"]
+    # shannon of 60/40 split
+    h = shannon_from_profile(p1)
+    p = np.array([0.6, 0.4])
+    assert np.isclose(h, -(p * np.log(p)).sum())
+
+
+def test_find_latest_mpa_index(tmp_path):
+    from pangaea_tpu.asm.diversity import find_latest_mpa_index
+    for name in ["mpa_vJan21_X.1.bt2l", "mpa_vOct22_Y.1.bt2l",
+                 "mpa_vOct22_Y.rev.1.bt2l", "junk.txt"]:
+        open(tmp_path / name, "w").close()
+    assert find_latest_mpa_index(str(tmp_path)) == "mpa_vOct22_Y"
+
+
+def test_split_interleaved_by_barcode(tmp_path):
+    from pangaea_tpu.io.fastq import iter_fastq_records
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel.multihost import split_interleaved_by_barcode
+    reads = str(tmp_path / "r.fq")
+    simulate_linked_reads(out_interleaved=reads, n_species=2,
+                          genome_len=10_000, n_barcodes=60,
+                          pairs_per_barcode=10, seed=3)
+    shards = split_interleaved_by_barcode(reads, str(tmp_path / "s"), 4)
+    assert len(shards) == 4
+    # no barcode appears in two shards; totals preserved
+    seen = {}
+    total = 0
+    for i, sh in enumerate(shards):
+        for rec in iter_fastq_records(sh):
+            total += 1
+            bc = rec.header.split("BX:Z:")[1].split("-")[0]
+            assert seen.setdefault(bc, i) == i
+    assert total == 60 * 10 * 2
+
+
+def test_stage_timer(tmp_path):
+    from pangaea_tpu.profiling import StageTimer
+    t = StageTimer()
+    with t.stage("read", unit="reads") as st:
+        st.items += 100
+    assert t.stages["read"].items == 100
+    assert t.stages["read"].seconds >= 0
+    t.dump(str(tmp_path / "m.json"))
+    import json
+    m = json.load(open(tmp_path / "m.json"))
+    assert m["read"]["items"] == 100
+
+
+def test_lazy_package_exports():
+    import pangaea_tpu
+    assert pangaea_tpu.RPHKMeans.__name__ == "RPHKMeans"
+    assert pangaea_tpu.Pipeline.__name__ == "Pipeline"
