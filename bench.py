@@ -202,14 +202,12 @@ def train_bench(abd, tnf, n_groups, train_steps):
     return time.time() - t0
 
 
-def main():
-    cpu_proxy = "--cpu-proxy" in sys.argv
+def run_measure(cpu_proxy: bool) -> dict:
     if cpu_proxy:
         import jax
         jax.config.update("jax_platforms", "cpu")
     from pangaea_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-
     batches, n_reads = build_batches()
     if cpu_proxy:
         batches = batches[: max(1, len(batches) // CPU_SCALE)]
@@ -223,32 +221,55 @@ def main():
     # timed steps are steps-1 (first step compiles) => rescale
     t_train = train_bench(abd, tnf, N_BARCODES, steps)
     t_train *= steps / max(steps - 1, 1)
-    reads_per_s = n_reads / (t_feat + t_train)
-    result = {"reads_per_s": reads_per_s, "t_feat": t_feat,
-              "t_train": t_train, "n_reads": n_reads, "steps": steps}
-    if cpu_proxy:
-        print("CPUPROXY " + json.dumps(result))
-        return
-    # spawn the CPU proxy for the baseline
+    return {"reads_per_s": n_reads / (t_feat + t_train), "t_feat": t_feat,
+            "t_train": t_train, "n_reads": n_reads, "steps": steps}
+
+
+def _spawn(tag: str, flag: str, timeout: int) -> dict:
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
+    if flag == "--cpu-proxy":
+        env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    line = [l for l in out.stdout.splitlines() if l.startswith(tag)][-1]
+    return json.loads(line[len(tag):])
+
+
+def main():
+    if "--cpu-proxy" in sys.argv:
+        print("CPUPROXY " + json.dumps(run_measure(cpu_proxy=True)))
+        return
+    if "--device-path" in sys.argv:
+        print("DEVICEPATH " + json.dumps(run_measure(cpu_proxy=False)))
+        return
+    # Both measurements run in child processes: a wedged TPU backend
+    # (compute RPCs hanging) must not hang the whole bench.
+    note = None
+    dev_timeout = int(os.environ.get("BENCH_DEVICE_TIMEOUT", 1500))
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-proxy"],
-            capture_output=True, text=True, timeout=1200, env=env)
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("CPUPROXY ")][-1]
-        cpu = json.loads(line[len("CPUPROXY "):])
-        vs = reads_per_s / cpu["reads_per_s"]
+        dev = _spawn("DEVICEPATH ", "--device-path", dev_timeout)
+        reads_per_s = dev["reads_per_s"]
+    except Exception as e:
+        print(f"device path failed: {e}", file=sys.stderr)
+        dev = None
+        reads_per_s = 0.0
+        note = "tpu_unavailable"
+    try:
+        cpu = _spawn("CPUPROXY ", "--cpu-proxy", 1800)
+        vs = reads_per_s / cpu["reads_per_s"] if dev else None
     except Exception as e:
         print(f"cpu proxy failed: {e}", file=sys.stderr)
-        vs = float("nan")
-    print(json.dumps({
+        vs = None
+    result = {
         "metric": "feature_extract_plus_vae_binning_throughput",
         "value": round(reads_per_s, 1),
         "unit": "reads/s/chip",
-        "vs_baseline": round(vs, 2) if vs == vs else None,
-    }))
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }
+    if note:
+        result["note"] = note
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
