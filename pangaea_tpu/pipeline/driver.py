@@ -34,6 +34,34 @@ from pangaea_tpu.io.preprocess import (interleave, load_whitelist,
 log = logging.getLogger(__name__)
 
 
+def _builtin_short2long(longreads: str, r1: str, r2: str,
+                        bam_path: str) -> None:
+    """bwa-less hybrid mapping: index the long reads with the TPU k-mer
+    vote mapper and emit a name-grouped BAM of the short pairs
+    (consumed by io/hybrid.add_barcode exactly like bwa's output)."""
+    from pangaea_tpu.asm.mapper import KmerMapper, map_pairs_to_bam
+    from pangaea_tpu.io.fastq import iter_fastq_records
+    from pangaea_tpu.io.grouping import iter_read_pairs_paired
+
+    contigs = [(rec.header.split()[0], rec.seq)
+               for rec in iter_fastq_records(longreads)] \
+        if not _is_fasta(longreads) else None
+    if contigs is None:
+        from pangaea_tpu.asm.fasta import iter_fasta
+        contigs = [(n.split()[0], s) for n, s in iter_fasta(longreads)]
+    mapper = KmerMapper(max_row_len=4096)
+    mapper.index_contigs(contigs)
+    pairs = ((p.name, p.seq1, p.qual1, p.seq2, p.qual2)
+             for p in iter_read_pairs_paired(r1, r2))
+    map_pairs_to_bam(mapper, pairs, bam_path)
+
+
+def _is_fasta(path: str) -> bool:
+    from pangaea_tpu.io.fastq import open_maybe_gzip
+    with open_maybe_gzip(path) as f:
+        return f.read(1) == ">"
+
+
 def preprocess_reads(args, reads_dir: str, runner: ToolRunner) -> str:
     """Step 0; returns the barcode-sorted interleaved FASTQ path."""
     os.makedirs(reads_dir, exist_ok=True)
@@ -69,17 +97,19 @@ def preprocess_reads(args, reads_dir: str, runner: ToolRunner) -> str:
             make_longread_barcode_map(args.longreads, bc_map)
         s2l_bam = os.path.join(reads_dir, "short2long.bam")
         if not os.path.isfile(s2l_bam):
-            for tool in ("bwa", "samtools"):
-                runner.require(tool)
-            if not os.path.isfile(args.longreads + ".bwt"):
-                log.info("[hybrid] bwa index")
-                runner.run(["bwa", "index", args.longreads],
-                           log_name="bwa.log")
-            log.info("[hybrid] bwa mem")
-            runner.run([], shell_cmd=(
-                f"bwa mem -t {args.threads} {args.longreads} {r1} {r2} | "
-                f"samtools sort -@ {args.threads} -n -o {s2l_bam} -"),
-                log_name="bwa.log")
+            if all(runner.available(t) for t in ("bwa", "samtools")):
+                if not os.path.isfile(args.longreads + ".bwt"):
+                    log.info("[hybrid] bwa index")
+                    runner.run(["bwa", "index", args.longreads],
+                               log_name="bwa.log")
+                log.info("[hybrid] bwa mem")
+                runner.run([], shell_cmd=(
+                    f"bwa mem -t {args.threads} {args.longreads} {r1} {r2}"
+                    f" | samtools sort -@ {args.threads} -n -o {s2l_bam} -"),
+                    log_name="bwa.log")
+            else:
+                log.warning("[hybrid] bwa not found; builtin TPU mapper")
+                _builtin_short2long(args.longreads, r1, r2, s2l_bam)
         short_map = os.path.join(reads_dir, "short_reads_barcoded_map.txt")
         if not os.path.isfile(short_map):
             log.info("[hybrid] add virtual barcode")
