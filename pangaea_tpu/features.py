@@ -216,6 +216,21 @@ class FeatureExtractor:
             f.write("feature finished")
         return names, abd, tnf
 
+    def export_jellyfish_dump(self, table, path: str) -> int:
+        """Write the global table as a jellyfish ``dump -c -t`` file
+        (``KMER\\tCOUNT`` lines, counts >= 1) — interchange format with the
+        reference's count_kmer (src/feature.py:87,101-103), which
+        re-canonicalizes on load (count_kmer.cpp:144-169) so any string
+        form of each canonical k-mer is accepted."""
+        from pangaea_tpu.kernels.encode import decode_kmers
+        t = np.asarray(table)
+        nz = np.flatnonzero(t)
+        strs = decode_kmers(nz, self.cfg.kmer)
+        with open(path, "w") as f:
+            for s, c in zip(strs, t[nz]):
+                f.write(f"{s.decode()}\t{int(c)}\n")
+        return len(nz)
+
     def load_features(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import pandas as pd
         if os.path.isfile(self.abd_pkl) and os.path.isfile(self.tnf_pkl):

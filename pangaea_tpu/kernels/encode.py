@@ -120,6 +120,19 @@ def jax_slice(x: jnp.ndarray, start: int, width: int) -> jnp.ndarray:
     return x[:, start:start + width]
 
 
+_DECODE = np.frombuffer(b"ACTG", dtype=np.uint8)  # code 0,1,2,3
+
+
+def decode_kmers(vals: np.ndarray, k: int) -> np.ndarray:
+    """k-mer values -> ASCII strings (inverse of the 2-bit encode)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    chars = np.empty((len(vals), k), np.uint8)
+    for j in range(k):
+        chars[:, j] = _DECODE[(vals >> np.uint64(2 * (k - 1 - j)))
+                              & np.uint64(3)]
+    return chars.view(f"S{k}").ravel()
+
+
 @functools.lru_cache(maxsize=None)
 def _canonical_order(k: int) -> np.ndarray:
     """Sorted unique canonical k-mer values for small k (host-side)."""
