@@ -142,36 +142,76 @@ def run_metaspades(args, runner: ToolRunner) -> str:
 
 def run_athena(args, sorted_fq: str, spades_contigs: str,
                runner: ToolRunner) -> tuple:
-    """Returns (local_assembly_fa, athena_asm_fa). src/run_pangaea:271-306."""
+    """Returns (local_assembly_fa, athena_asm_fa). src/run_pangaea:271-306:
+    bwa mem -C alignment of the sorted interleaved reads to the metaspades
+    contigs, then ``athena-meta --force_reads --config config.json`` run
+    from the athena output dir (the reference switches conda envs there;
+    here athena-meta is just an external command)."""
     out_dir = os.path.join(args.output, "2_athena_out")
     athena_fa = os.path.join(out_dir, "results", "olc", "athena.asm.fa")
     local_fa = os.path.join(out_dir, "results", "olc",
                             "flye-input-contigs.fa")
     if os.path.isfile(athena_fa):
+        log.info("athena done")
         return local_fa, athena_fa
     runner.require("athena-meta")
     os.makedirs(out_dir, exist_ok=True)
-    bam = os.path.join(out_dir, "reads2spades.bam")
+    contigs = os.path.realpath(spades_contigs)
+    config = os.path.join(out_dir, "config.json")
+    with open(config, "w") as f:  # exact reference layout (:280-288)
+        f.write('{\n')
+        f.write(f'    "ctgfasta_path": "{contigs}",\n')
+        f.write('    "reads_ctg_bam_path": "align-reads.contigs.bam",\n')
+        f.write(f'    "input_fqs": "{os.path.realpath(sorted_fq)}",\n')
+        f.write('    "cluster_settings": {\n')
+        f.write('        "cluster_type": "multiprocessing",\n')
+        f.write(f'        "processes": {args.threads}\n')
+        f.write('    }\n}\n')
+    bam = os.path.join(out_dir, "align-reads.contigs.bam")
     if not os.path.isfile(bam):
         for tool in ("bwa", "samtools"):
             runner.require(tool)
-        if not os.path.isfile(spades_contigs + ".bwt"):
-            runner.run(["bwa", "index", spades_contigs], log_name="bwa.log")
+        if not os.path.isfile(contigs + ".bwt"):
+            runner.run(["bwa", "index", contigs], log_name="bwa.log")
         runner.run([], shell_cmd=(
-            f"bwa mem -C -p -t {args.threads} {spades_contigs} {sorted_fq}"
+            f"bwa mem -t {args.threads} -C {contigs} {sorted_fq}"
             f" | samtools sort -@ {args.threads} -o {bam}"),
             log_name="bwa.log")
-        runner.run(["samtools", "index", bam], log_name="bwa.log")
-    config = os.path.join(out_dir, "config.json")
-    if not os.path.isfile(config):
-        import json
-        with open(config, "w") as f:
-            json.dump({"input_fqs": sorted_fq,
-                       "ctgfasta_path": spades_contigs,
-                       "reads_ctg_bam_path": bam,
-                       "threads": args.threads}, f, indent=2)
-    runner.run(["athena-meta", "--config", config], log_name="athena.log")
+        runner.run(["samtools", "index", "-@", str(args.threads), bam],
+                   log_name="bwa.log")
+    runner.run(["athena-meta", "--force_reads", "--config", "config.json"],
+               log_name="athena.log", cwd=out_dir)
     return local_fa, athena_fa
+
+
+def make_hybrid_template(args, runner: ToolRunner,
+                         longreads_type: str = "pacbio",
+                         hybrid_asm: str = "hybridspades") -> str:
+    """Hybrid template contigs (src/run_pangaea:311-333): hybridspades
+    (metaspades --pacbio/--nanopore) or metaplatanus."""
+    if hybrid_asm == "hybridspades" and runner.available("metaspades.py"):
+        out_dir = os.path.join(args.output, "3_hybridspades_out")
+        contigs = os.path.join(out_dir, "contigs.fasta")
+        if not os.path.isfile(contigs):
+            flag = ("--nanopore" if longreads_type == "nanopore"
+                    else "--pacbio")
+            runner.run(["metaspades.py", "-1", args.reads1, "-2",
+                        args.reads2, flag, args.longreads, "-t",
+                        str(args.threads), "-o", out_dir],
+                       log_name="hybridspades.log")
+        return contigs
+    if runner.available("metaplatanus"):
+        out_dir = os.path.join(args.output, "3_metaplatanus_out")
+        os.makedirs(out_dir, exist_ok=True)
+        contigs = os.path.join(out_dir, "out_final.fa")
+        if not os.path.isfile(contigs):
+            runner.run(["metaplatanus", "-IP1", args.reads1, args.reads2,
+                        "-p", args.longreads, "-t", str(args.threads),
+                        "-o", os.path.join(out_dir, "out"), "-m", "500"],
+                       log_name="metaplatanus.log")
+        return contigs
+    log.warning("no hybrid template assembler available")
+    return ""
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -214,6 +254,11 @@ def main(argv=None) -> None:
             local, athena = run_athena(args, sorted_fq, spades, runner)
         else:
             log.warning("athena-meta not found; ensemble without athena")
+        if args.longreads:
+            # hybrid: the binning template is the hybrid assembly
+            # (src/run_pangaea:311-333), falling back to metaspades
+            template = make_hybrid_template(args, runner)
+            spades = template or spades
     else:
         log.warning("metaspades unavailable/skipped; ensemble without seeds")
 

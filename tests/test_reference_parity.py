@@ -169,6 +169,26 @@ def test_preprocess_stlfr_parity(data):
         assert got == ref, f"{suffix} differs"
 
 
+def test_preprocess_tellseq_parity(data):
+    d = data[0]
+    r1, r2 = str(d / "t1.fq"), str(d / "t2.fq")
+    idx = str(d / "tidx.fq")
+    with open(r1, "w") as f1, open(r2, "w") as f2, open(idx, "w") as fi:
+        for i, bc in enumerate(["A" * 18, "C" * 10, "G" * 18]):
+            f1.write(f"@td{i} 1:N:0\nACGT\n+\nIIII\n")
+            f2.write(f"@td{i} 2:N:0\nTTTT\n+\nIIII\n")
+            fi.write(f"@td{i}\n{bc}\n+\n{'I' * len(bc)}\n")
+    subprocess.run([os.path.join(BIN, "preprocess_tellseq"), "-1", r1,
+                    "-2", r2, "-l", idx, "-o", str(d / "refts")],
+                   check=True, capture_output=True)
+    from pangaea_tpu.io.preprocess import preprocess_tellseq
+    preprocess_tellseq(r1, r2, idx, str(d / "ourts"))
+    for suffix in ("_1.fq", "_2.fq", ".wl"):
+        ref = open(str(d / f"refts{suffix}")).read()
+        got = open(str(d / f"ourts{suffix}")).read()
+        assert got == ref, f"{suffix} differs"
+
+
 def test_parse_header_parity(data):
     d = data[0]
     fa = str(d / "x.fa")
