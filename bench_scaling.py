@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scaling-efficiency bench (BASELINE.md: reads/s at 1 chip / N devices;
+target >= 80% efficiency to 2 hosts).
+
+Measures the sharded feature pass + train step on 1..N devices of the
+available mesh and prints one JSON line with per-size reads/s and the
+efficiency at the largest size. On a single-chip host this validates the
+sharded code paths on a virtual CPU mesh (JAX_PLATFORMS=cpu +
+xla_force_host_platform_device_count); on a pod slice it measures real
+ICI scaling.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+if "--cpu-mesh" in sys.argv:
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+K = 13  # smaller table so the CPU-mesh validation stays fast
+READ_LEN = 150
+ROWS = 16384
+N_BATCHES = int(os.environ.get("BENCH_SCALING_BATCHES", 8))
+
+
+def measure(n_dev: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pangaea_tpu.parallel import data_mesh, make_sharded_kmer_counter
+
+    mesh = data_mesh(n_dev)
+    init_table, step, unshard, (mat, row) = make_sharded_kmer_counter(
+        mesh, K, K - 1)
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(N_BATCHES):
+        codes = rng.randint(0, 4, (ROWS, 256), dtype=np.uint8)
+        codes[:, READ_LEN:] = 4
+        lengths = np.full(ROWS, READ_LEN, np.int32)
+        cont = np.zeros(ROWS, np.uint8)
+        batches.append((
+            jax.device_put(jnp.asarray(codes), mat),
+            jax.device_put(jnp.asarray(lengths), row),
+            jax.device_put(jnp.asarray(cont), row)))
+    table = init_table()
+    table, ov = step(table, *batches[0])  # warmup/compile
+    jax.block_until_ready(table)
+    table = init_table()
+    t0 = time.time()
+    for codes, lengths, cont in batches:
+        table, ov = step(table, codes, lengths, cont)
+    jax.block_until_ready(table)
+    dt = time.time() - t0
+    assert int(np.asarray(ov).sum()) == 0
+    return N_BATCHES * ROWS / dt
+
+
+def main():
+    import jax
+    if "--cpu-mesh" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    n = len(jax.devices())
+    sizes = sorted({1, max(2, n // 2), n} & set(range(1, n + 1))) \
+        if n > 1 else [1]
+    rates = {}
+    for s in sizes:
+        rates[s] = measure(s)
+        print(f"devices={s}: {rates[s]:,.0f} reads/s", file=sys.stderr)
+    if len(sizes) > 1:
+        eff = rates[sizes[-1]] / (rates[1] * sizes[-1])
+    else:
+        eff = 1.0
+    print(json.dumps({
+        "metric": "feature_pass_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"efficiency@{sizes[-1]}dev",
+        "vs_baseline": round(eff / 0.8, 2),  # target >= 0.8
+        "reads_per_s": {str(k): round(v, 0) for k, v in rates.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

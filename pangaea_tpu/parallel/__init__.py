@@ -9,8 +9,10 @@ from pangaea_tpu.parallel.mesh import (data_mesh, data_sharding,
                                        replicated_sharding,
                                        initialize_distributed)
 from pangaea_tpu.parallel.dist import (ShardedFeatureExtractor,
+                                       make_sharded_kmer_counter,
                                        sharded_train_block, sharded_lloyd)
 
 __all__ = ["data_mesh", "data_sharding", "replicated_sharding",
            "initialize_distributed", "ShardedFeatureExtractor",
-           "sharded_train_block", "sharded_lloyd"]
+           "make_sharded_kmer_counter", "sharded_train_block",
+           "sharded_lloyd"]

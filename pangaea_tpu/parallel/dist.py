@@ -5,18 +5,20 @@ Replaces, at mesh scale, the reference's intra-node parallelism
 batches; the neutered nn.DataParallel at VAENET.py:28-29):
 
 1. feature extraction — read-batch rows shard over ('data',); the global
-   k-mer table and per-group histograms are computed per shard and merged
-   by XLA-inserted collectives (scatter-add onto a replicated accumulator
-   => all-reduce), exactly the psum-merge of SURVEY.md §2.5.
+   k-mer table shards by KEY RANGE and batch indices are routed to their
+   owning shard (make_sharded_kmer_counter: all_to_all buckets or
+   all_gather+mask — an explicit shard_map, because GSPMD's default for a
+   scatter onto a replicated accumulator is a full-table all-reduce per
+   batch, ~50x slower measured on an 8-way mesh).
 2. VAE training — the per-batch gather output shards over the batch dim;
    batch-norm moments and loss means become cross-shard psums inserted by
    GSPMD; gradients all-reduce onto replicated params.
 3. final k-means — X rows shard; the (N, k) assignment matmul is local,
    the segment-sum cluster stats all-reduce.
 
-All three are plain jit-with-shardings (GSPMD) rather than shard_map:
-every cross-shard dependency here is a reduction XLA already places
-optimally, and the same code runs on a 1-device mesh unchanged.
+2 and 3 are plain jit-with-shardings (GSPMD): their cross-shard
+dependencies are reductions XLA already places optimally, and the same
+code runs on a 1-device mesh unchanged.
 """
 
 from __future__ import annotations
@@ -33,6 +35,111 @@ from pangaea_tpu.config import FeatureConfig
 from pangaea_tpu.features import FeatureExtractor
 from pangaea_tpu.kernels.features import (abundance_histogram,
                                           count_kmers_global, tnf_histogram)
+
+
+def make_sharded_kmer_counter(mesh: Mesh, k: int, overlap: int,
+                              route: str = "auto",
+                              capacity_factor: float = 4.0):
+    """Global k-mer counting with the table SHARDED by key range.
+
+    Scattering into a replicated table would make GSPMD all-reduce the
+    whole 4^k table every batch (268 MB for k=13, 4 GiB for k=15); the
+    dataflow must move the (small) update indices instead. Two routings:
+
+    - ``all_to_all`` (default, speed-of-light): each shard sorts its
+      indices by destination key range and all_to_all's fixed-capacity
+      buckets, so every shard scatter-adds only ~1/n_dev of the updates.
+      Canonical k-mers are min(v, revcomp(v)), whose key density falls
+      off linearly (2x the mean at the low end of the key space), so the
+      default ``capacity_factor`` 4.0 covers the peak plus variance;
+      overflow is *counted* and returned so the caller can assert
+      exactness (a nonzero count means redo with a bigger factor — never
+      silent loss). Routing buffers are tiny (cap*n_dev int32), so the
+      slack is free.
+    - ``all_gather``: every shard scans all gathered indices and keeps
+      its range. Simple, exact, but per-device scatter work stays
+      constant as devices grow (no strong scaling of the scatter stage).
+
+    Returns (init_table, step, unshard, (mat_sharding, row_sharding));
+    step(table, codes, lengths, cont) -> (table, overflow_count).
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from pangaea_tpu.kernels.encode import canonical_kmers, \
+        kmer_window_values
+
+    n_dev = mesh.devices.size
+    total = 4 ** k
+    shard = -(-total // n_dev)
+    padded = shard * n_dev
+    table_spec = NamedSharding(mesh, P("data"))
+    mat = NamedSharding(mesh, P("data", None))
+    row = NamedSharding(mesh, P("data"))
+
+    def _indices(codes, lengths, cont):
+        skip = cont.astype(jnp.int32) * max(0, overlap - (k - 1))
+        vals, valid = kmer_window_values(codes, lengths, k, win_skip=skip)
+        canon = canonical_kmers(vals, k)
+        return jnp.where(valid, canon, jnp.int32(padded)).ravel()
+
+    def _step_gather(table_shard, codes, lengths, cont):
+        idx = _indices(codes, lengths, cont)
+        all_idx = jax.lax.all_gather(idx, "data", tiled=True)
+        rank = jax.lax.axis_index("data")
+        local = all_idx - rank * shard
+        local = jnp.where((local >= 0) & (local < shard), local,
+                          jnp.int32(shard))
+        return (table_shard.at[local].add(1, mode="drop"),
+                jnp.zeros((1,), jnp.int32))
+
+    def _step_a2a(table_shard, codes, lengths, cont):
+        idx = _indices(codes, lengths, cont)  # (N_local,)
+        n_local = idx.shape[0]
+        cap = int(capacity_factor * n_local / n_dev)
+        dest = jnp.minimum(idx // shard, n_dev - 1)  # OOB sentinel -> last+
+        is_valid = idx < padded
+        dest = jnp.where(is_valid, dest, n_dev)  # invalid -> bucket n_dev
+        order = jnp.argsort(dest)
+        sidx = idx[order]
+        sdest = dest[order]
+        starts = jnp.searchsorted(sdest, jnp.arange(n_dev, dtype=dest.dtype))
+        ends = jnp.searchsorted(sdest, jnp.arange(n_dev, dtype=dest.dtype),
+                                side="right")
+        counts = ends - starts
+        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+        # gather each destination's slice into a fixed (n_dev, cap) buffer
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n_dev, cap), 1)
+        src = starts[:, None] + pos
+        take = pos < counts[:, None]
+        src = jnp.where(take, src, n_local - 1)
+        buckets = jnp.where(take, sidx[src], jnp.int32(padded))
+        recv = jax.lax.all_to_all(buckets, "data", split_axis=0,
+                                  concat_axis=0, tiled=True)
+        rank = jax.lax.axis_index("data")
+        local = recv.ravel() - rank * shard
+        local = jnp.where((local >= 0) & (local < shard), local,
+                          jnp.int32(shard))
+        new_table = table_shard.at[local].add(1, mode="drop")
+        return new_table, overflow[None]
+
+    if route == "auto":
+        # all_to_all's bucketization sort only pays off once the
+        # duplicated-scatter work of all_gather exceeds it (bigger meshes)
+        route = "all_to_all" if n_dev > 4 else "all_gather"
+    body = _step_a2a if route == "all_to_all" else _step_gather
+    step = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"), P("data", None), P("data"), P("data")),
+        out_specs=(P("data"), P("data"))), donate_argnums=(0,))
+
+    def init_table():
+        return jax.device_put(jnp.zeros(padded, jnp.int32), table_spec)
+
+    def unshard(table):
+        return np.asarray(table)[:total]
+
+    return init_table, step, unshard, (mat, row)
 
 
 class ShardedFeatureExtractor(FeatureExtractor):
@@ -58,19 +165,29 @@ class ShardedFeatureExtractor(FeatureExtractor):
     def global_kmer_table(self, reads1: str = "", reads2: str = "",
                           interleaved: str = ""):
         from pangaea_tpu.io.packing import ReadPacker
-        from pangaea_tpu.kernels.features import make_global_table
         c = self.cfg
         min_qual = c.min_qual_char if (reads1 and reads2) else None
         packer = ReadPacker(max_read_len=c.max_read_len, overlap=c.kmer - 1,
                             reads_per_batch=c.reads_per_batch,
                             min_qual_char=min_qual)
-        table = jax.device_put(make_global_table(c.kmer), self._repl)
+        init_table, step, unshard, _ = make_sharded_kmer_counter(
+            self.mesh, c.kmer, c.kmer - 1)
+        table = init_table()
+        overflows = []
         for b in packer.iter_batches(
                 self._seq_stream(reads1, reads2, interleaved)):
             codes, lengths, _, cont = self._shard_batch(b)
-            table = count_kmers_global(table, codes, lengths, cont,
-                                       k=c.kmer, overlap=c.kmer - 1)
-        return table
+            table, ov = step(table, codes, lengths, cont)
+            overflows.append(ov)
+        total_ov = sum(int(np.asarray(o).sum()) for o in overflows)
+        if total_ov:
+            raise RuntimeError(
+                f"k-mer routing bucket overflow ({total_ov} updates): "
+                f"raise capacity_factor (pathologically skewed keys)")
+        # downstream group kernels index the table with global keys;
+        # return it replicated (one transfer, not per-batch)
+        import jax.numpy as jnp
+        return jax.device_put(jnp.asarray(unshard(table)), self._repl)
 
 
 def sharded_train_block(trainer, mesh: Mesh):

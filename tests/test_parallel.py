@@ -45,6 +45,48 @@ def test_sharded_global_count_matches_single(mesh):
     np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
 
 
+@pytest.mark.parametrize("route", ["all_gather", "all_to_all"])
+def test_sharded_table_counter_matches_single(mesh, route):
+    from pangaea_tpu.parallel import make_sharded_kmer_counter
+    rng = np.random.RandomState(3)
+    k = 7
+    codes = rng.randint(0, 4, (64, 64)).astype(np.uint8)
+    lengths = np.full(64, 64, np.int32)
+    cont = np.zeros(64, np.uint8)
+    single = count_kmers_global(make_global_table(k), jnp.asarray(codes),
+                                jnp.asarray(lengths), jnp.asarray(cont),
+                                k=k, overlap=k - 1)
+    init_table, step, unshard, (mat, row) = make_sharded_kmer_counter(
+        mesh, k, k - 1, route=route)
+    table = init_table()
+    args = (jax.device_put(jnp.asarray(codes), mat),
+            jax.device_put(jnp.asarray(lengths), row),
+            jax.device_put(jnp.asarray(cont), row))
+    table, ov = step(table, *args)
+    table, ov2 = step(table, *args)  # accumulate twice
+    assert int(np.asarray(ov).sum()) == 0
+    assert int(np.asarray(ov2).sum()) == 0
+    np.testing.assert_array_equal(unshard(table),
+                                  2 * np.asarray(single))
+
+
+def test_sharded_counter_overflow_detected(mesh):
+    """Pathologically skewed keys (all-identical reads) must be flagged,
+    never silently dropped."""
+    from pangaea_tpu.parallel import make_sharded_kmer_counter
+    k = 7
+    codes = np.zeros((64, 64), np.uint8)  # poly-A: one canonical k-mer
+    lengths = np.full(64, 64, np.int32)
+    cont = np.zeros(64, np.uint8)
+    init_table, step, unshard, (mat, row) = make_sharded_kmer_counter(
+        mesh, k, k - 1, route="all_to_all", capacity_factor=0.01)
+    table = init_table()
+    table, ov = step(table, jax.device_put(jnp.asarray(codes), mat),
+                     jax.device_put(jnp.asarray(lengths), row),
+                     jax.device_put(jnp.asarray(cont), row))
+    assert int(np.asarray(ov).sum()) > 0
+
+
 def test_sharded_train_step_matches_replicated(mesh):
     rng = np.random.RandomState(1)
     model = VAE(abd_dim=40, tnf_dim=16, hidden_sizes=(32, 32), latent_dim=8,
