@@ -154,8 +154,7 @@ class FeatureExtractor:
             hist = jnp.zeros(G * c.vector_size, jnp.int32)
             thist = jnp.zeros(G * ncols, jnp.int32)
             for b in chunk.batches:
-                args = (jnp.asarray(b.codes), jnp.asarray(b.lengths),
-                        jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+                args = self._device_batch(b)
                 hist = abundance_histogram(
                     hist, table, *args, k=c.kmer, window=c.window_size,
                     vector_size=c.vector_size, overlap=overlap)
@@ -172,6 +171,12 @@ class FeatureExtractor:
                     np.zeros((0, ncols), np.int32))
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
+
+    def _device_batch(self, b):
+        """Host batch -> device arrays; ShardedFeatureExtractor overrides
+        this with mesh placements."""
+        return (jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
 
     # ---- artifacts --------------------------------------------------------
 

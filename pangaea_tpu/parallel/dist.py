@@ -162,6 +162,12 @@ class ShardedFeatureExtractor(FeatureExtractor):
                 jax.device_put(jnp.asarray(b.seg_ids), self._row_sharding),
                 jax.device_put(jnp.asarray(b.cont), self._row_sharding))
 
+    def _device_batch(self, b):
+        # group pass: reads shard over the mesh; the (G, 400/136) hist
+        # accumulators stay replicated — their per-batch all-reduce is
+        # ~13 MB, far cheaper than routing (unlike the 4^k global table)
+        return self._shard_batch(b)
+
     def global_kmer_table(self, reads1: str = "", reads2: str = "",
                           interleaved: str = ""):
         from pangaea_tpu.io.packing import ReadPacker

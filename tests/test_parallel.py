@@ -143,6 +143,27 @@ def test_sharded_lloyd_matches_single(mesh):
     assert adjusted_rand_score(l1, np.asarray(l2)) == 1.0
 
 
+def test_sharded_feature_extractor_matches_single(mesh, tmp_path):
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor
+    reads = str(tmp_path / "r.fq.gz")
+    simulate_linked_reads(out_interleaved=reads, n_species=2,
+                          genome_len=8_000, n_barcodes=40,
+                          pairs_per_barcode=12, seed=17)
+    cfg = FeatureConfig(kmer=9, reads_per_batch=512)
+    single = FeatureExtractor(cfg, str(tmp_path / "s"))
+    n1, a1, t1 = single.extract_features(interleaved=reads)
+    sharded = ShardedFeatureExtractor(FeatureConfig(kmer=9,
+                                                    reads_per_batch=512),
+                                      str(tmp_path / "m"), mesh)
+    n2, a2, t2 = sharded.extract_features(interleaved=reads)
+    assert n1.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
