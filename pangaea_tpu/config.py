@@ -30,10 +30,11 @@ class FeatureConfig:
     # first pair of each new barcode lands in the previous barcode's group.
     # Required for byte-identical feature CSVs.
     bug_compat_boundary_leak: bool = True
-    # jellyfish --min-qual-char=? is applied only on the paired-reads path
-    # (src/feature.py:76-86); the interleaved path (src/feature.py:94) does
-    # no quality masking. None = no masking.
-    min_qual_char: Optional[str] = None
+    # jellyfish --min-qual-char=? is always applied on the paired-reads
+    # path (src/feature.py:76-86) and never on the interleaved path
+    # (src/feature.py:94); the extractor applies this setting to the
+    # global pass only when reads come as -1/-2. None = no masking.
+    min_qual_char: Optional[str] = "?"
     # Host-side streaming batch geometry for the TPU kernels.
     reads_per_batch: int = 65536
     max_read_len: int = 256

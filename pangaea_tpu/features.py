@@ -108,10 +108,11 @@ class FeatureExtractor:
 
     def global_kmer_table(self, reads1: str = "", reads2: str = "",
                           interleaved: str = "") -> jnp.ndarray:
+        from pangaea_tpu.io.prefetch import prefetch
         c = self.cfg
         table = make_global_table(c.kmer)
         n = 0
-        for b in self._global_batches(reads1, reads2, interleaved):
+        for b in prefetch(self._global_batches(reads1, reads2, interleaved)):
             table = count_kmers_global(
                 table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.cont), k=c.kmer, overlap=c.kmer - 1)
@@ -148,9 +149,10 @@ class FeatureExtractor:
                 bug_compat=c.bug_compat_boundary_leak)
             chunks = gp.iter_chunks(groups)
         G = gp.groups_per_chunk
+        from pangaea_tpu.io.prefetch import prefetch
         names: List[str] = []
         abd_rows, tnf_rows = [], []
-        for chunk in chunks:
+        for chunk in prefetch(chunks):
             hist = jnp.zeros(G * c.vector_size, jnp.int32)
             thist = jnp.zeros(G * ncols, jnp.int32)
             for b in chunk.batches:
