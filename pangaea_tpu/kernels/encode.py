@@ -97,6 +97,10 @@ def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     R, L = codes.shape
     W = L - k + 1
     assert W >= 1, f"max_read_len {L} < k {k}"
+    # 2k bits must fit int32 (the reference's uint64 path allows k<=32;
+    # k=15 is its default and the practical sweet spot for the dense
+    # table — 4^15 int32 = 4 GiB HBM)
+    assert k <= 15, f"k={k} unsupported: values must fit int32 (k <= 15)"
     c = codes.astype(jnp.int32)
     safe = jnp.where(c < 4, c, 0)
     acc = jnp.zeros((R, W), dtype=jnp.int32)
