@@ -116,51 +116,46 @@ def cpu_feature_baseline(batches, n_groups):
 
 
 def device_features(batches, n_groups):
-    import jax
     import jax.numpy as jnp
-    from pangaea_tpu.kernels.encode import (canonical_rank_lut,
-                                            num_canonical_kmers)
-    from pangaea_tpu.kernels.features import (abundance_histogram,
+    from pangaea_tpu.kernels.encode import num_canonical_kmers
+    from pangaea_tpu.kernels.features import (abundance_histogram_segsum,
                                               count_kmers_global,
                                               make_global_table,
-                                              tnf_histogram)
+                                              tnf_histogram_segsum)
+    from pangaea_tpu.utils import device_sync
 
     ncols = num_canonical_kmers(TNFK)
-    lut = jnp.asarray(canonical_rank_lut(TNFK))
     dev_batches = [(jnp.asarray(b.codes), jnp.asarray(b.lengths),
                     jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
                    for b in batches]
 
-    # warmup/compile
-    table = make_global_table(K)
-    table = count_kmers_global(table, *[dev_batches[0][i] for i in
-                                        (0, 1, 3)], k=K, overlap=K - 1)
-    hist = jnp.zeros(n_groups * VEC, jnp.int32)
-    thist = jnp.zeros(n_groups * ncols, jnp.int32)
-    hist = abundance_histogram(hist, table, *dev_batches[0], k=K,
-                               window=WINDOW, vector_size=VEC,
-                               overlap=K - 1)
-    thist = tnf_histogram(thist, lut, *dev_batches[0], k=TNFK,
-                          num_cols=ncols, overlap=K - 1)
-    jax.block_until_ready((table, hist, thist))
+    def feature_pass():
+        table = make_global_table(K)
+        for codes, lengths, seg, cont in dev_batches:
+            table = count_kmers_global(table, codes, lengths, cont, k=K,
+                                       overlap=K - 1)
+        hist = jnp.zeros((n_groups, VEC), jnp.int32)
+        thist = jnp.zeros((n_groups, ncols), jnp.int32)
+        for args in dev_batches:
+            hist = abundance_histogram_segsum(
+                hist, table, *args, k=K, window=WINDOW, vector_size=VEC,
+                overlap=K - 1, n_groups=n_groups)
+            thist = tnf_histogram_segsum(
+                thist, *args, k=TNFK, num_cols=ncols, overlap=K - 1,
+                n_groups=n_groups)
+        return hist, thist
+
+    # warmup/compile at the timed shapes (device_sync, NOT
+    # block_until_ready: the latter is a no-op on proxied backends and
+    # would leave compile/execution inside the timed region)
+    hist, thist = feature_pass()
+    device_sync(hist, thist)
 
     t0 = time.time()
-    table = make_global_table(K)
-    for codes, lengths, seg, cont in dev_batches:
-        table = count_kmers_global(table, codes, lengths, cont, k=K,
-                                   overlap=K - 1)
-    hist = jnp.zeros(n_groups * VEC, jnp.int32)
-    thist = jnp.zeros(n_groups * ncols, jnp.int32)
-    for args in dev_batches:
-        hist = abundance_histogram(hist, table, *args, k=K, window=WINDOW,
-                                   vector_size=VEC, overlap=K - 1)
-        thist = tnf_histogram(thist, lut, *args, k=TNFK, num_cols=ncols,
-                              overlap=K - 1)
-    jax.block_until_ready((hist, thist))
+    hist, thist = feature_pass()
+    device_sync(hist, thist)
     t_feat = time.time() - t0
-    abd = np.array(hist).reshape(n_groups, VEC)
-    tnf = np.array(thist).reshape(n_groups, ncols)
-    return t_feat, abd, tnf
+    return t_feat, np.array(hist), np.array(thist)
 
 
 def train_bench(abd, tnf, n_groups, train_steps):
@@ -189,16 +184,17 @@ def train_bench(abd, tnf, n_groups, train_steps):
                       ).astype(np.int32)
     mask = np.ones(idx.shape + (1,), np.float32)
     key = jrandom.PRNGKey(1)
-    # compile
-    p2, o2, b2, k2, _ = trainer._train_block(
-        params, opt, bn, key, abd_all, tnf_all, jnp.asarray(idx[:1]),
-        jnp.asarray(mask[:1]))
-    jax.block_until_ready(p2)
+    from pangaea_tpu.utils import device_sync
+    idx_d, mask_d = jnp.asarray(idx), jnp.asarray(mask)
+    # compile at the EXACT timed shape (a different scan length would put
+    # a fresh compile inside the timed region), real sync via transfer
+    p2, o2, b2, k2, stats = trainer._train_block(
+        params, opt, bn, key, abd_all, tnf_all, idx_d, mask_d)
+    device_sync(stats)
     t0 = time.time()
     p2, o2, b2, k2, stats = trainer._train_block(
-        p2, o2, b2, k2, abd_all, tnf_all, jnp.asarray(idx[1:]),
-        jnp.asarray(mask[1:]))
-    jax.block_until_ready(p2)
+        p2, o2, b2, k2, abd_all, tnf_all, idx_d, mask_d)
+    device_sync(stats)
     return time.time() - t0
 
 
@@ -217,10 +213,8 @@ def run_measure(cpu_proxy: bool) -> dict:
     else:
         steps = TRAIN_STEPS
         t_feat, abd, tnf = device_features(batches, N_BARCODES)
-    # steps scale with the data slice, so reads/s compares directly;
-    # timed steps are steps-1 (first step compiles) => rescale
+    # steps scale with the data slice, so reads/s compares directly
     t_train = train_bench(abd, tnf, N_BARCODES, steps)
-    t_train *= steps / max(steps - 1, 1)
     return {"reads_per_s": n_reads / (t_feat + t_train), "t_feat": t_feat,
             "t_train": t_train, "n_reads": n_reads, "steps": steps}
 

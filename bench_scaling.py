@@ -48,14 +48,15 @@ def measure(n_dev: int) -> float:
             jax.device_put(jnp.asarray(codes), mat),
             jax.device_put(jnp.asarray(lengths), row),
             jax.device_put(jnp.asarray(cont), row)))
+    from pangaea_tpu.utils import device_sync
     table = init_table()
     table, ov = step(table, *batches[0])  # warmup/compile
-    jax.block_until_ready(table)
+    device_sync(table)
     table = init_table()
     t0 = time.time()
     for codes, lengths, cont in batches:
         table, ov = step(table, codes, lengths, cont)
-    jax.block_until_ready(table)
+    device_sync(table)
     dt = time.time() - t0
     assert int(np.asarray(ov).sum()) == 0
     return N_BATCHES * ROWS / dt

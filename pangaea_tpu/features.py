@@ -38,8 +38,11 @@ from pangaea_tpu.io.grouping import (iter_barcode_groups,
 from pangaea_tpu.io.packing import GroupPacker, ReadPacker
 from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
 from pangaea_tpu.kernels.features import (abundance_histogram,
+                                          abundance_histogram_segsum,
                                           count_kmers_global,
-                                          make_global_table, tnf_histogram)
+                                          make_global_table, tnf_histogram,
+                                          tnf_histogram_segsum,
+                                          use_segsum_impl)
 
 log = logging.getLogger(__name__)
 
@@ -150,18 +153,32 @@ class FeatureExtractor:
             chunks = gp.iter_chunks(groups)
         G = gp.groups_per_chunk
         from pangaea_tpu.io.prefetch import prefetch
+        segsum = use_segsum_impl(c.hist_impl)
         names: List[str] = []
         abd_rows, tnf_rows = [], []
         for chunk in prefetch(chunks):
-            hist = jnp.zeros(G * c.vector_size, jnp.int32)
-            thist = jnp.zeros(G * ncols, jnp.int32)
+            if segsum:
+                hist = jnp.zeros((G, c.vector_size), jnp.int32)
+                thist = jnp.zeros((G, ncols), jnp.int32)
+            else:
+                hist = jnp.zeros(G * c.vector_size, jnp.int32)
+                thist = jnp.zeros(G * ncols, jnp.int32)
             for b in chunk.batches:
                 args = self._device_batch(b)
-                hist = abundance_histogram(
-                    hist, table, *args, k=c.kmer, window=c.window_size,
-                    vector_size=c.vector_size, overlap=overlap)
-                thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
-                                      num_cols=ncols, overlap=overlap)
+                if segsum:
+                    hist = abundance_histogram_segsum(
+                        hist, table, *args, k=c.kmer, window=c.window_size,
+                        vector_size=c.vector_size, overlap=overlap,
+                        n_groups=G)
+                    thist = tnf_histogram_segsum(
+                        thist, *args, k=c.tnf_kmer, num_cols=ncols,
+                        overlap=overlap, n_groups=G)
+                else:
+                    hist = abundance_histogram(
+                        hist, table, *args, k=c.kmer, window=c.window_size,
+                        vector_size=c.vector_size, overlap=overlap)
+                    thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
+                                          num_cols=ncols, overlap=overlap)
             g = chunk.num_groups
             names += chunk.names
             abd_rows.append(np.asarray(hist).reshape(G, c.vector_size)[:g])

@@ -59,7 +59,10 @@ def native_seq_batches(paths: List[str], max_read_len: int,
                 codes, lengths, _ = out
                 if int(lengths.max(initial=0)) > max_read_len:
                     raise OverlongReadError(
-                        f"read longer than max_read_len={max_read_len}")
+                        f"read longer than max_read_len={max_read_len}; "
+                        "raise FeatureConfig.max_read_len to cover the "
+                        "longest read, or disable native IO (the python "
+                        "ReadPacker splits overlong reads across rows)")
                 n = len(lengths)
                 if n < reads_per_batch:
                     pad_c = np.full((reads_per_batch, max_read_len), 4,
@@ -217,7 +220,10 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
             if int(lengths.max(initial=0)) > max_read_len:
                 rd.close()
                 raise OverlongReadError(
-                    f"read longer than max_read_len={max_read_len}")
+                    f"read longer than max_read_len={max_read_len}; "
+                    "raise FeatureConfig.max_read_len to cover the longest "
+                    "read, or disable native IO (the python GroupPacker "
+                    "splits overlong reads across rows)")
             bcs = bcs[0::2]  # per-pair barcode = R1's (interleaved)
         if carry_codes is not None:
             codes = np.concatenate([carry_codes, codes])

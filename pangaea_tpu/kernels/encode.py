@@ -145,6 +145,13 @@ def _canonical_order(k: int) -> np.ndarray:
     return np.unique(canon)
 
 
+def canonical_order(k: int) -> np.ndarray:
+    """Sorted unique canonical k-mer values — the TNF column key order
+    (count_tnf.cpp:54-76). Column j of the TNF feature counts value
+    canonical_order(k)[j]."""
+    return _canonical_order(k)
+
+
 def num_canonical_kmers(k: int) -> int:
     """136 for k=4, 32 for k=3 — the TNF feature widths
     (count_tnf.cpp:54-76 enumerates them into an ordered std::map)."""

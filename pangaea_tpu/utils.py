@@ -22,6 +22,25 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def device_sync(*arrays) -> None:
+    """Hard barrier: wait until every given jax array is actually computed.
+
+    ``jax.block_until_ready`` is a no-op on some proxied backends (measured
+    on the axon TPU tunnel: a 6.9-TFLOP program "completed" in 0 s), which
+    silently turns any enqueue-then-block timing into a dispatch-only
+    measurement. Forcing a device->host copy of a scalar reduction is the
+    only sync that provably waits, so all timing paths (bench.py,
+    bench_scaling.py, tools/ab_hist_tpu.py, profiling stage timers) use
+    this instead.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    for a in jax.tree_util.tree_leaves(arrays):
+        if hasattr(a, "dtype") and hasattr(a, "addressable_shards"):
+            np.asarray(jnp.sum(jnp.ravel(a)[:1]))
+
+
 def init_all(seed: int, threads: int, logfile: str, level: int,
              outdir: str) -> None:
     """src/utils.py:84-105: seed numpy, create outdir, root logger to
