@@ -143,7 +143,8 @@ def test_sharded_lloyd_matches_single(mesh):
     assert adjusted_rand_score(l1, np.asarray(l2)) == 1.0
 
 
-def test_sharded_feature_extractor_matches_single(mesh, tmp_path):
+@pytest.mark.parametrize("impl", ["scatter", "segsum"])
+def test_sharded_feature_extractor_matches_single(mesh, tmp_path, impl):
     from pangaea_tpu.config import FeatureConfig
     from pangaea_tpu.features import FeatureExtractor
     from pangaea_tpu.io.sim import simulate_linked_reads
@@ -155,9 +156,9 @@ def test_sharded_feature_extractor_matches_single(mesh, tmp_path):
     cfg = FeatureConfig(kmer=9, reads_per_batch=512)
     single = FeatureExtractor(cfg, str(tmp_path / "s"))
     n1, a1, t1 = single.extract_features(interleaved=reads)
-    sharded = ShardedFeatureExtractor(FeatureConfig(kmer=9,
-                                                    reads_per_batch=512),
-                                      str(tmp_path / "m"), mesh)
+    sharded = ShardedFeatureExtractor(
+        FeatureConfig(kmer=9, reads_per_batch=512, hist_impl=impl),
+        str(tmp_path / "m"), mesh)
     n2, a2, t2 = sharded.extract_features(interleaved=reads)
     assert n1.tolist() == n2.tolist()
     np.testing.assert_array_equal(a1, a2)
