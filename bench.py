@@ -116,11 +116,17 @@ def cpu_feature_baseline(batches, n_groups):
 
 
 def device_features(batches, n_groups):
+    """Sort-join feature pass (the hist_impl='auto' TPU path at this
+    dataset size): one sweep collects k-mer keys + TNF, one sort derives
+    global counts, a replay histograms the bins (features.py:
+    group_features_sortjoin)."""
+    import jax
     import jax.numpy as jnp
     from pangaea_tpu.kernels.encode import num_canonical_kmers
-    from pangaea_tpu.kernels.features import (abundance_histogram_segsum,
-                                              count_kmers_global,
-                                              make_global_table,
+    from pangaea_tpu.kernels.features import (abundance_histogram_from_bins,
+                                              batch_kmer_keys,
+                                              kmer_key_sentinel,
+                                              sortjoin_bins,
                                               tnf_histogram_segsum)
     from pangaea_tpu.utils import device_sync
 
@@ -130,19 +136,31 @@ def device_features(batches, n_groups):
                    for b in batches]
 
     def feature_pass():
-        table = make_global_table(K)
-        for codes, lengths, seg, cont in dev_batches:
-            table = count_kmers_global(table, codes, lengths, cont, k=K,
-                                       overlap=K - 1)
-        hist = jnp.zeros((n_groups, VEC), jnp.int32)
         thist = jnp.zeros((n_groups, ncols), jnp.int32)
-        for args in dev_batches:
-            hist = abundance_histogram_segsum(
-                hist, table, *args, k=K, window=WINDOW, vector_size=VEC,
-                overlap=K - 1, n_groups=n_groups)
+        keys_parts = []
+        for codes, lengths, seg, cont in dev_batches:
+            keys_parts.append(batch_kmer_keys(codes, lengths, cont, k=K,
+                                              overlap=K - 1))
             thist = tnf_histogram_segsum(
-                thist, *args, k=TNFK, num_cols=ncols, overlap=K - 1,
+                thist, codes, lengths, seg, cont, k=TNFK, num_cols=ncols,
+                overlap=K - 1, n_groups=n_groups)
+        per_batch = keys_parts[0].shape[0]
+        total = sum(p.shape[0] for p in keys_parts)
+        npad = 1 << (total - 1).bit_length()
+        if npad > total:
+            keys_parts.append(jnp.full(npad - total, kmer_key_sentinel(K),
+                                       jnp.int32))
+        bins = sortjoin_bins(jnp.concatenate(keys_parts), k=K,
+                             window=WINDOW, vector_size=VEC)
+        hist = jnp.zeros((n_groups, VEC), jnp.int32)
+        rows = dev_batches[0][0].shape[0]
+        off = 0
+        for _, _, seg, _ in dev_batches:
+            bslice = jax.lax.dynamic_slice(bins, (off,), (per_batch,))
+            hist = abundance_histogram_from_bins(
+                hist, bslice.reshape(rows, -1), seg, vector_size=VEC,
                 n_groups=n_groups)
+            off += per_batch
         return hist, thist
 
     # warmup/compile at the timed shapes (device_sync, NOT

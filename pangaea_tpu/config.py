@@ -38,11 +38,21 @@ class FeatureConfig:
     # Host-side streaming batch geometry for the TPU kernels.
     reads_per_batch: int = 65536
     max_read_len: int = 256
-    # Group-histogram implementation: 'auto' (segsum on accelerators,
-    # scatter on the CPU backend), 'scatter', or 'segsum'. See
-    # kernels/features.py — XLA TPU serializes per-element scatters at
-    # ~15 ns/update, so the scatter-free path is ~2-5x faster on TPU.
+    # Group-histogram implementation: 'auto', 'scatter', 'segsum', or
+    # 'sortjoin'. See kernels/features.py — XLA TPU serializes per-element
+    # scatters at ~15 ns/update, so the scatter-free segsum path is ~2-5x
+    # faster on TPU; the sort-join path additionally replaces the global
+    # k-mer table (scatter build + gather lookups) with two device sorts
+    # and reads the FASTQ once instead of twice. 'auto' = sortjoin when
+    # eligible (accelerator backend, interleaved/unmasked input, window
+    # count within sortjoin_max_windows), else segsum on accelerators,
+    # scatter on the CPU backend.
     hist_impl: str = "auto"
+    # Sort-join eligibility cap: total k-mer windows that may be held on
+    # the device at once (int32 key per window + sort workspace; 256M
+    # windows ~= 1 GiB of keys, ~5 GiB peak through the sort). Datasets
+    # estimated to exceed this use the streaming table path.
+    sortjoin_max_windows: int = 256 * 1024 * 1024
 
 
 @dataclass

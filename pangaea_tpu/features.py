@@ -38,13 +38,21 @@ from pangaea_tpu.io.grouping import (iter_barcode_groups,
 from pangaea_tpu.io.packing import GroupPacker, ReadPacker
 from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
 from pangaea_tpu.kernels.features import (abundance_histogram,
+                                          abundance_histogram_from_bins,
                                           abundance_histogram_segsum,
-                                          count_kmers_global,
-                                          make_global_table, tnf_histogram,
+                                          batch_kmer_keys, count_kmers_global,
+                                          kmer_key_sentinel,
+                                          make_global_table, sortjoin_bins,
+                                          tnf_histogram,
                                           tnf_histogram_segsum,
                                           use_segsum_impl)
 
 log = logging.getLogger(__name__)
+
+
+class SortJoinOverflow(RuntimeError):
+    """Dataset exceeded sortjoin_max_windows mid-stream; caller falls back
+    to the streaming global-table path."""
 
 
 class FeatureExtractor:
@@ -191,6 +199,134 @@ class FeatureExtractor:
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
 
+    # ---- sort-join fast path ----------------------------------------------
+
+    def sortjoin_eligible(self, reads1: str, reads2: str,
+                          interleaved: str) -> bool:
+        """Sort-join (kernels/features.py) is exact only when the global
+        k-mer multiset equals the group stream's: interleaved input (the
+        paired path quality-masks the global pass, src/feature.py:76-86)
+        and the whole window set fits on the device."""
+        import jax
+        c = self.cfg
+        if c.hist_impl in ("scatter", "segsum"):
+            return False
+        if not interleaved:
+            return False
+        if c.hist_impl == "sortjoin":
+            return True
+        if jax.default_backend() == "cpu":
+            return False  # CPU scatters are fast; sorts win on TPU
+        try:
+            size = os.path.getsize(interleaved)
+        except OSError:
+            return False
+        raw = size * 4 if interleaved.endswith((".gz", ".bgz")) else size
+        est_windows = raw // 2  # ~1 window/base, ~2.3 raw bytes/base
+        return est_windows <= c.sortjoin_max_windows
+
+    def _sortjoin_chunks(self, interleaved: str):
+        c = self.cfg
+        gp = GroupPacker(min_len=c.min_length, max_read_len=c.max_read_len,
+                         overlap=c.kmer - 1,
+                         reads_per_batch=c.reads_per_batch,
+                         keep_dropped=True)
+        use_native = False
+        if c.bug_compat_boundary_leak:
+            try:
+                from pangaea_tpu.native import native_available
+                use_native = native_available()
+            except Exception:
+                pass
+        if use_native:
+            from pangaea_tpu.io.fast_packing import native_group_chunks
+            return gp.groups_per_chunk, native_group_chunks(
+                interleaved, c.min_length, c.max_read_len,
+                c.reads_per_batch, gp.groups_per_chunk, keep_dropped=True)
+        groups = iter_barcode_groups(
+            iter_read_pairs_interleaved(interleaved),
+            bug_compat=c.bug_compat_boundary_leak)
+        return gp.groups_per_chunk, gp.iter_chunks(groups)
+
+    def group_features_sortjoin(self, interleaved: str
+                                ) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+        """Single-pass features via the sort-join abundance kernel.
+
+        Phase A streams the (keep_dropped) group chunks once: per batch it
+        collects the canonical k-mer key of every window and accumulates
+        the TNF histogram. Phase B sorts all keys to derive each window's
+        global count == abundance bin. Phase C replays the recorded
+        seg_ids to histogram the bins per barcode. The FASTQ is read once
+        (the table path reads it twice).
+        """
+        import jax
+        from pangaea_tpu.io.prefetch import prefetch
+        c = self.cfg
+        overlap = c.kmer - 1
+        ncols = num_canonical_kmers(c.tnf_kmer)
+        G, chunks = self._sortjoin_chunks(interleaved)
+        keys_parts: List[jnp.ndarray] = []
+        chunk_meta = []  # (names, [seg_ids], thist)
+        total = 0
+        for chunk in prefetch(chunks):
+            thist = jnp.zeros((G, ncols), jnp.int32)
+            segs = []
+            for b in chunk.batches:
+                codes, lengths, seg, cont = self._device_batch(b)
+                keys_parts.append(batch_kmer_keys(
+                    codes, lengths, cont, k=c.kmer, overlap=overlap))
+                total += keys_parts[-1].shape[0]
+                thist = tnf_histogram_segsum(
+                    thist, codes, lengths, seg, cont, k=c.tnf_kmer,
+                    num_cols=ncols, overlap=overlap, n_groups=G)
+                segs.append(seg)
+            chunk_meta.append((chunk.names, segs, thist))
+            log.info("sortjoin pass A: %d barcodes, %d windows",
+                     sum(len(m[0]) for m in chunk_meta), total)
+            if total > c.sortjoin_max_windows:
+                raise SortJoinOverflow(
+                    f"{total} windows > sortjoin_max_windows="
+                    f"{c.sortjoin_max_windows}")
+        if not chunk_meta or total == 0:
+            return (np.array([], dtype=object),
+                    np.zeros((0, c.vector_size), np.int32),
+                    np.zeros((0, ncols), np.int32))
+        per_batch = keys_parts[0].shape[0]
+        npad = 1 << (total - 1).bit_length()  # pow2: O(log N) compilations
+        if npad > total:
+            keys_parts.append(jnp.full(
+                npad - total, kmer_key_sentinel(c.kmer), jnp.int32))
+        keys = jnp.concatenate(keys_parts)
+        del keys_parts
+        bins = sortjoin_bins(keys, k=c.kmer, window=c.window_size,
+                             vector_size=c.vector_size)
+        del keys
+        rows = c.reads_per_batch
+        wrow = per_batch // rows
+        names: List[str] = []
+        abd_rows, tnf_rows = [], []
+        off = 0
+        for cnames, segs, thist in chunk_meta:
+            hist = jnp.zeros((G, c.vector_size), jnp.int32)
+            for seg in segs:
+                bslice = jax.lax.dynamic_slice(bins, (off,), (per_batch,))
+                hist = abundance_histogram_from_bins(
+                    hist, bslice.reshape(rows, wrow), seg,
+                    vector_size=c.vector_size, n_groups=G)
+                off += per_batch
+            g = len(cnames)
+            names += list(cnames)
+            abd_rows.append(np.asarray(hist)[:g])
+            tnf_rows.append(np.asarray(thist)[:g])
+        log.info("sortjoin done: %d barcodes, %d windows", len(names), total)
+        if not names:
+            return (np.array([], dtype=object),
+                    np.zeros((0, c.vector_size), np.int32),
+                    np.zeros((0, ncols), np.int32))
+        return (np.array(names), np.concatenate(abd_rows),
+                np.concatenate(tnf_rows))
+
     def _device_batch(self, b):
         """Host batch -> device arrays; ShardedFeatureExtractor overrides
         this with mesh placements."""
@@ -231,6 +367,17 @@ class FeatureExtractor:
         if os.path.exists(self.abd_gz) and os.path.exists(self.tnf_gz):
             log.info("features already extracted, loading")
             return self.load_features()
+        if self.sortjoin_eligible(reads1, reads2, interleaved):
+            try:
+                names, abd, tnf = self.group_features_sortjoin(interleaved)
+            except SortJoinOverflow as e:
+                log.warning("sort-join overflow (%s); restarting on the "
+                            "streaming table path", e)
+            else:
+                self._save(names, abd, tnf)
+                with open(self.marker, "w") as f:
+                    f.write("feature finished")
+                return names, abd, tnf
         table = self.global_kmer_table(reads1, reads2, interleaved)
         names, abd, tnf = self.group_features(table, reads1, reads2,
                                               interleaved)

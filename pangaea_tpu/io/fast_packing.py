@@ -92,10 +92,15 @@ def _group_pairs(bcs: np.ndarray, prev_last: bytes
 
 def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
                         reads_per_batch: int, groups_per_chunk: int = 8192,
-                        pairs_per_buffer: int = 262144
+                        pairs_per_buffer: int = 262144,
+                        keep_dropped: bool = False
                         ) -> Iterator[GroupChunk]:
     """GroupChunk stream equivalent to GroupPacker.iter_chunks(
-    iter_barcode_groups(iter_read_pairs_interleaved(path)))."""
+    iter_barcode_groups(iter_read_pairs_interleaved(path))).
+
+    keep_dropped=True emits filtered groups' reads as seg_id=-1 rows (for
+    the sort-join path's jellyfish-equivalent global counts; see
+    io/packing.GroupPacker)."""
     rd = _reader(interleaved, max_read_len, None)
 
     # carry state across buffers
@@ -181,6 +186,13 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
             names = np.asarray(names)
             nonempty = np.array([len(x) > 0 for x in names])
             kept = nonempty & (glen > min_len)
+            if keep_dropped:
+                drop_rows = np.repeat(~kept[gid], 2)
+                if drop_rows.any():
+                    row_codes.append(codes[drop_rows])
+                    row_lengths.append(lengths[drop_rows])
+                    row_segs.append(np.full(int(drop_rows.sum()), -1,
+                                            np.int32))
             # assign chunk-local ids slice-wise so a chunk never mixes
             # ids from two chunks when it fills mid-buffer
             kept_idx = np.flatnonzero(kept)
@@ -216,6 +228,10 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
         else:
             codes, lengths, bcs = out
             if len(lengths) % 2:  # trailing unpaired record: drop
+                if keep_dropped:  # ... but it still counts globally
+                    row_codes.append(codes[-1:])
+                    row_lengths.append(lengths[-1:])
+                    row_segs.append(np.full(1, -1, np.int32))
                 codes, lengths, bcs = codes[:-1], lengths[:-1], bcs[:-1]
             if int(lengths.max(initial=0)) > max_read_len:
                 rd.close()

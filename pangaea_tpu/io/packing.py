@@ -145,17 +145,22 @@ class GroupPacker:
 
     Groups failing the reference filter (empty barcode or concatenated
     length <= min_len, count_kmer.cpp:62-63) are dropped entirely — their
-    reads never reach the device.
+    reads never reach the device. With ``keep_dropped=True`` their reads
+    are emitted as seg_id=-1 rows instead (excluded from histograms but
+    present in the stream), which the sort-join abundance path needs: the
+    global k-mer counts must cover every read, like jellyfish over the
+    whole file (src/feature.py:76-86).
     """
 
     def __init__(self, min_len: int = 2000, max_read_len: int = 256,
                  overlap: int = 14, reads_per_batch: int = 65536,
-                 groups_per_chunk: int = 8192):
+                 groups_per_chunk: int = 8192, keep_dropped: bool = False):
         self.min_len = min_len
         self.max_len = max_read_len
         self.overlap = overlap
         self.rows = reads_per_batch
         self.groups_per_chunk = groups_per_chunk
+        self.keep_dropped = keep_dropped
 
     def iter_chunks(self, groups: Iterable[Tuple[str, List[ReadPair]]]
                     ) -> Iterator[GroupChunk]:
@@ -174,6 +179,15 @@ class GroupPacker:
 
         for barcode, group in groups:
             if not group_kept(barcode, group, self.min_len):
+                if self.keep_dropped:
+                    for p in group:
+                        for seq in (p.seq1, p.seq2):
+                            codes = encode_bases(seq.encode("ascii"))
+                            for row, is_cont in _split_rows(
+                                    codes, self.max_len, self.overlap):
+                                out = bb.add_row(row, -1, is_cont)
+                                if out is not None:
+                                    batches.append(out)
                 continue
             if len(names) == self.groups_per_chunk:
                 yield close_chunk()

@@ -248,6 +248,101 @@ def abundance_histogram_segsum(hist: jax.Array, table: jax.Array,
     return hist + _segment_sum_sorted(row_hist, seg_ids, n_groups)
 
 
+# ---------------------------------------------------------------------------
+# Sort-join abundance (TPU fastest path for datasets that fit HBM)
+#
+# The dense-table path pays two serialized per-element memory ops per
+# window: a scatter-add into the 4 GiB table (global pass) and a table
+# lookup (group pass). A device sort costs far less and scales
+# sub-linearly in practice (measured v5e, tools/ab_sort_vs_scatter.py:
+# 32M-element key+payload sort 143 ms vs 433 ms for the same-size
+# scatter-add alone). When every window of the dataset fits in HBM, the
+# global table disappears entirely:
+#
+#   1. one streaming pass collects each window's canonical k-mer key
+#      (sentinel 4^k for invalid windows) — the SAME stream the group
+#      pass uses, so the FASTQ is read once, not twice;
+#   2. one sort by key groups equal k-mers into runs; the run length IS
+#      the jellyfish global count (valid because the stream contains
+#      every read exactly once, including dropped-group reads as
+#      seg_id -1 rows, and unmasked — matching jellyfish over the
+#      interleaved file, src/feature.py:76-86 interleaved path);
+#      per-instance counts come from run-boundary fill-forward cumops,
+#      no gathers;
+#   3. a second sort by original index puts each window's abundance BIN
+#      back in stream order, where the existing compare-expand + segment
+#      -sum machinery histograms it per barcode.
+#
+# Exactness: in the unmasked single-stream case the reference's
+# `count > 0` check (count_kmer.cpp:87) is automatic — every group-pass
+# k-mer was itself counted, so its run length is >= 1. Quality-masked
+# global counting (the paired-reads path, --min-qual-char) is NOT
+# eligible: masked windows count globally but not per-group, so the
+# multiset differs; features.FeatureExtractor falls back to the table
+# path there.
+# ---------------------------------------------------------------------------
+
+
+def kmer_key_sentinel(k: int) -> int:
+    """Sort key for invalid windows: sorts after every real k-mer value."""
+    return 4 ** k
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overlap"))
+def batch_kmer_keys(codes: jax.Array, lengths: jax.Array, cont: jax.Array,
+                    *, k: int, overlap: int) -> jax.Array:
+    """(R*W,) int32 canonical k-mer per window; invalid -> 4^k sentinel."""
+    skip = cont.astype(jnp.int32) * max(0, overlap - (k - 1))
+    vals, valid = kmer_window_values(codes, lengths, k, win_skip=skip)
+    canon = canonical_kmers(vals, k)
+    return jnp.where(valid, canon, jnp.int32(kmer_key_sentinel(k))).ravel()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
+def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
+                  vector_size: int) -> jax.Array:
+    """Per-window abundance bin (count//window) in original order; -1 for
+    windows that contribute nothing (invalid, or bin >= vector_size).
+
+    keys: (N,) int32 from :func:`batch_kmer_keys` (padding entries must be
+    the sentinel). Each instance's global count is the length of its run
+    in the sorted order, recovered without gathers: run starts/ends are
+    elementwise compares, and their positions fill forward/backward via
+    cummax / reverse-cummin (positions are monotone along the array, so
+    the fills are exact).
+    """
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sk, si = jax.lax.sort((keys, idx), num_keys=1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
+    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    count = run_end - run_start + 1
+    bins = count // jnp.int32(window)
+    ok = (sk < kmer_key_sentinel(k)) & (bins < vector_size)
+    binv = jnp.where(ok, bins, -1)
+    _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
+    return bins_orig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vector_size", "n_groups"),
+    donate_argnames=("hist",),
+)
+def abundance_histogram_from_bins(hist: jax.Array, bins: jax.Array,
+                                  seg_ids: jax.Array, *, vector_size: int,
+                                  n_groups: int) -> jax.Array:
+    """Accumulate (n_groups, vector_size) histogram from per-window bins
+    (-1 = skip) of one packed batch; seg_ids as in the segsum kernels."""
+    cols = jnp.arange(vector_size, dtype=jnp.int32)
+    row_hist = jnp.sum(bins[:, :, None] == cols[None, None, :], axis=1,
+                       dtype=jnp.int32)
+    return hist + _segment_sum_sorted(row_hist, seg_ids, n_groups)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "num_cols", "overlap", "n_groups"),

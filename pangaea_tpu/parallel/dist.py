@@ -156,6 +156,14 @@ class ShardedFeatureExtractor(FeatureExtractor):
         self._mat_sharding = NamedSharding(mesh, P("data", None))
         self._repl = NamedSharding(mesh, P())
 
+    def sortjoin_eligible(self, reads1: str, reads2: str,
+                          interleaved: str) -> bool:
+        # The single-device sort-join would make GSPMD all-gather the full
+        # key array for the global sort; the sharded path keeps the
+        # key-range-routed table instead. (A distributed sort-join —
+        # shard-local sort + ppermute merge — is possible future work.)
+        return False
+
     def _shard_batch(self, b):
         return (jax.device_put(jnp.asarray(b.codes), self._mat_sharding),
                 jax.device_put(jnp.asarray(b.lengths), self._row_sharding),

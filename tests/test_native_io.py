@@ -111,3 +111,58 @@ def test_native_group_chunks_small_chunksize(simfile, tmp_path):
                       for b in cr.batches
                       for s, l in zip(b.seg_ids, b.lengths) if s >= 0)
         assert got == want
+
+
+def test_native_keep_dropped_matches_python(simfile):
+    """keep_dropped: dropped reads appear once as seg -1 rows on both
+    paths (multiset of lengths), kept rows unchanged (sort-join
+    prerequisite: global counts must cover every read)."""
+    from pangaea_tpu.io.fast_packing import native_group_chunks
+    from pangaea_tpu.io.grouping import (iter_barcode_groups,
+                                         iter_read_pairs_interleaved)
+    from pangaea_tpu.io.packing import GroupPacker
+    # min_len high enough that some groups drop
+    chunks = list(native_group_chunks(simfile, 20000, 256, 512,
+                                      groups_per_chunk=16,
+                                      pairs_per_buffer=100,
+                                      keep_dropped=True))
+    gp = GroupPacker(min_len=20000, max_read_len=256, overlap=14,
+                     reads_per_batch=512, groups_per_chunk=16,
+                     keep_dropped=True)
+    ref = list(gp.iter_chunks(iter_barcode_groups(
+        iter_read_pairs_interleaved(simfile))))
+    assert [c.names for c in chunks] == [c.names for c in ref]
+
+    def rows(cs, dropped):
+        out = []
+        for c in cs:
+            for b in c.batches:
+                for s, l, code in zip(b.seg_ids, b.lengths, b.codes):
+                    if l == 0:
+                        continue
+                    if dropped and s == -1:
+                        out.append(code[:l].tobytes())
+                    elif not dropped and s >= 0:
+                        out.append((int(s), code[:l].tobytes()))
+        return sorted(out)
+
+    assert rows(chunks, False) == rows(ref, False)
+    d_nat, d_py = rows(chunks, True), rows(ref, True)
+    assert len(d_nat) > 0
+    # dropped rows are a global multiset (chunk placement may differ)
+    assert d_nat == d_py
+
+
+def test_native_sortjoin_matches_scatter(simfile, tmp_path):
+    """Native-IO sort-join extraction == python scatter extraction."""
+    cfg = FeatureConfig(reads_per_batch=4096, hist_impl="sortjoin",
+                        min_qual_char=None)
+    fe = FeatureExtractor(cfg, str(tmp_path / "sj"))
+    n_names, n_abd, n_tnf = fe.extract_features(interleaved=simfile)
+    cfg2 = FeatureConfig(reads_per_batch=4096, hist_impl="scatter",
+                         min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    p_names, p_abd, p_tnf = fe2.extract_features(interleaved=simfile)
+    assert n_names.tolist() == p_names.tolist()
+    np.testing.assert_array_equal(n_abd, p_abd)
+    np.testing.assert_array_equal(n_tnf, p_tnf)

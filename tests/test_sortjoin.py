@@ -1,0 +1,195 @@
+"""Sort-join abundance path == scatter/table path, exactly.
+
+The sort-join path (kernels/features.py: one device sort derives every
+window's jellyfish-equivalent global count from its run length; a second
+sort restores stream order) replaces the dense global table when the
+dataset's windows fit on the device. It must agree bit-for-bit with the
+table path, including the keep_dropped stream semantics: dropped-group
+reads count globally (jellyfish counts the whole file) but never reach a
+histogram.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pangaea_tpu.config import FeatureConfig
+from pangaea_tpu.features import FeatureExtractor
+from pangaea_tpu.io.grouping import ReadPair, iter_barcode_groups
+from pangaea_tpu.io.packing import GroupPacker
+from pangaea_tpu.kernels.features import (abundance_histogram,
+                                          abundance_histogram_from_bins,
+                                          batch_kmer_keys, count_kmers_global,
+                                          kmer_key_sentinel,
+                                          make_global_table, sortjoin_bins)
+
+
+def test_sortjoin_bins_reference():
+    """bins from run lengths == bins from an explicit count table."""
+    k, window, vec = 6, 3, 7
+    rng = np.random.default_rng(0)
+    n = 1000
+    keys = rng.integers(0, 4 ** k, n).astype(np.int32)
+    keys[rng.random(n) < 0.2] = kmer_key_sentinel(k)  # invalid windows
+    bins = np.asarray(sortjoin_bins(jnp.asarray(keys), k=k, window=window,
+                                    vector_size=vec))
+    vals, counts = np.unique(keys[keys < kmer_key_sentinel(k)],
+                             return_counts=True)
+    table = dict(zip(vals.tolist(), counts.tolist()))
+    for i, key in enumerate(keys):
+        if key >= kmer_key_sentinel(k):
+            assert bins[i] == -1
+            continue
+        b = table[int(key)] // window
+        assert bins[i] == (b if b < vec else -1), i
+
+
+def _rand_pairs(rng, n_barcodes=12, pairs_per_bc=5, read_len=40):
+    pairs = []
+    for b in range(n_barcodes):
+        bc = f"BC{b:04d}"
+        # some barcodes get a single short pair -> dropped by min_len
+        npairs = 1 if b % 4 == 0 else int(rng.integers(2, pairs_per_bc + 1))
+        for p in range(npairs):
+            def seq():
+                s = "".join("ACGT"[c] for c in rng.integers(0, 4, read_len))
+                if rng.random() < 0.3:
+                    i = int(rng.integers(0, read_len))
+                    s = s[:i] + "N" + s[i + 1:]
+                return s
+            pairs.append(ReadPair(f"r{b}_{p}", bc, seq(), seq()))
+    return pairs
+
+
+def test_keep_dropped_rows():
+    """keep_dropped emits dropped groups' reads as seg -1 rows and leaves
+    the kept groups' names/rows identical."""
+    rng = np.random.default_rng(1)
+    pairs = _rand_pairs(rng)
+
+    def chunks(keep):
+        gp = GroupPacker(min_len=170, max_read_len=48, overlap=6,
+                         reads_per_batch=8, groups_per_chunk=5,
+                         keep_dropped=keep)
+        return list(gp.iter_chunks(iter_barcode_groups(iter(pairs))))
+
+    base, kd = chunks(False), chunks(True)
+    assert [c.names for c in base] == [c.names for c in kd]
+
+    def kept_rows(cs):
+        rows = []
+        for c in cs:
+            for b in c.batches:
+                for i in range(len(b.lengths)):
+                    if b.seg_ids[i] >= 0:
+                        rows.append((bytes(b.codes[i].tobytes()),
+                                     int(b.lengths[i]), int(b.seg_ids[i])))
+        return rows
+
+    assert kept_rows(base) == kept_rows(kd)
+    n_dropped = sum(int((b.seg_ids == -1).sum() - (b.lengths == 0).sum())
+                    for c in kd for b in c.batches)
+    total_reads = 2 * len(pairs)
+    kept_reads = len(kept_rows(base))
+    assert n_dropped == total_reads - kept_reads > 0
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_sortjoin_matches_scatter(seed):
+    """Chunked sort-join histogram == scatter path fed a table built from
+    the full keep_dropped stream (== jellyfish over all reads)."""
+    k, window, vec, min_len = 7, 2, 50, 170
+    rng = np.random.default_rng(seed)
+    pairs = _rand_pairs(rng)
+    gp = GroupPacker(min_len=min_len, max_read_len=48, overlap=k - 1,
+                     reads_per_batch=8, groups_per_chunk=5,
+                     keep_dropped=True)
+    chunks = list(gp.iter_chunks(iter_barcode_groups(iter(pairs))))
+    G = gp.groups_per_chunk
+    all_batches = [b for c in chunks for b in c.batches]
+
+    # reference: dense table over ALL rows (incl. seg -1), then scatter
+    table = make_global_table(k)
+    for b in all_batches:
+        table = count_kmers_global(
+            table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+            jnp.asarray(b.cont), k=k, overlap=k - 1)
+
+    # sort-join: keys from the same batches, pow2 sentinel padding
+    keys_parts = [batch_kmer_keys(jnp.asarray(b.codes),
+                                  jnp.asarray(b.lengths),
+                                  jnp.asarray(b.cont), k=k, overlap=k - 1)
+                  for b in all_batches]
+    total = sum(p.shape[0] for p in keys_parts)
+    npad = 1 << (total - 1).bit_length()
+    if npad > total:
+        keys_parts.append(jnp.full(npad - total, kmer_key_sentinel(k),
+                                   jnp.int32))
+    bins = sortjoin_bins(jnp.concatenate(keys_parts), k=k, window=window,
+                         vector_size=vec)
+
+    per_batch = keys_parts[0].shape[0]
+    rows = all_batches[0].codes.shape[0]
+    off = 0
+    for chunk in chunks:
+        want = jnp.zeros(G * vec, jnp.int32)
+        got = jnp.zeros((G, vec), jnp.int32)
+        for b in chunk.batches:
+            want = abundance_histogram(
+                want, table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                jnp.asarray(b.seg_ids), jnp.asarray(b.cont), k=k,
+                window=window, vector_size=vec, overlap=k - 1)
+            got = abundance_histogram_from_bins(
+                got, bins[off:off + per_batch].reshape(rows, -1),
+                jnp.asarray(b.seg_ids), vector_size=vec, n_groups=G)
+            off += per_batch
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want).reshape(G, vec))
+
+
+def test_feature_extractor_sortjoin_equivalence(tmp_path):
+    """extract_features with hist_impl='sortjoin' == 'scatter', end to end
+    (single-stream sort-join vs two-pass table on the same interleaved
+    input)."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=5_000, n_barcodes=12,
+        pairs_per_barcode=6, read_len=40, seed=5)
+    outs = {}
+    for impl in ("scatter", "sortjoin"):
+        cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                            max_read_len=64, reads_per_batch=32,
+                            hist_impl=impl, min_qual_char=None)
+        fe = FeatureExtractor(cfg, str(tmp_path / impl))
+        outs[impl] = fe.extract_features(interleaved=fq)
+    n_sc, a_sc, t_sc = outs["scatter"]
+    n_sj, a_sj, t_sj = outs["sortjoin"]
+    np.testing.assert_array_equal(n_sc, n_sj)
+    np.testing.assert_array_equal(a_sc, a_sj)
+    np.testing.assert_array_equal(t_sc, t_sj)
+
+
+def test_sortjoin_overflow_falls_back(tmp_path):
+    """A dataset over the window cap falls back to the table path and
+    still produces identical features."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=8,
+        pairs_per_barcode=5, read_len=40, seed=7)
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=32,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=100)  # force overflow
+    fe = FeatureExtractor(cfg, str(tmp_path / "ovf"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
