@@ -26,6 +26,10 @@ import numpy as np
 
 K, TNFK, WINDOW, VEC = 15, 4, 10, 400
 READ_LEN = 150
+ROW_LEN = 160  # row width near the read length: padding windows carry the
+               # sort sentinel but still cost sort time (FeatureConfig
+               # max_read_len — 256 default covers unknown inputs; fixed
+               # 150 bp linked reads fit 160)
 N_BARCODES = int(os.environ.get("BENCH_BARCODES", 3000))
 PAIRS_PER_BC = int(os.environ.get("BENCH_PAIRS", 40))
 TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 200))
@@ -43,7 +47,7 @@ def build_batches():
     seg_base = 0
     for start in range(0, n_reads, rows_per_batch):
         n = min(rows_per_batch, n_reads - start)
-        codes = np.full((rows_per_batch, 256), 4, np.uint8)
+        codes = np.full((rows_per_batch, ROW_LEN), 4, np.uint8)
         codes[:n, :READ_LEN] = rng.randint(0, 4, (n, READ_LEN),
                                            dtype=np.uint8)
         lengths = np.zeros(rows_per_batch, np.int32)
@@ -127,6 +131,7 @@ def device_features(batches, n_groups):
                                               batch_kmer_keys,
                                               kmer_key_sentinel,
                                               sortjoin_bins,
+                                              sortjoin_pad_size,
                                               tnf_histogram_segsum)
     from pangaea_tpu.utils import device_sync
 
@@ -146,7 +151,7 @@ def device_features(batches, n_groups):
                 overlap=K - 1, n_groups=n_groups)
         per_batch = keys_parts[0].shape[0]
         total = sum(p.shape[0] for p in keys_parts)
-        npad = 1 << (total - 1).bit_length()
+        npad = sortjoin_pad_size(total)
         if npad > total:
             keys_parts.append(jnp.full(npad - total, kmer_key_sentinel(K),
                                        jnp.int32))

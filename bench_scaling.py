@@ -77,13 +77,18 @@ def main():
         eff = rates[sizes[-1]] / (rates[1] * sizes[-1])
     else:
         eff = 1.0
-    print(json.dumps({
+    out = {
         "metric": "feature_pass_scaling_efficiency",
         "value": round(eff, 3),
         "unit": f"efficiency@{sizes[-1]}dev",
         "vs_baseline": round(eff / 0.8, 2),  # target >= 0.8
         "reads_per_s": {str(k): round(v, 0) for k, v in rates.items()},
-    }))
+    }
+    if "--cpu-mesh" in sys.argv:
+        # N virtual devices share the same host cores: the number validates
+        # the sharded code path, it does not measure ICI scaling
+        out["note"] = "virtual-cpu-mesh-validation-not-a-scaling-measurement"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ from pangaea_tpu.kernels.features import (abundance_histogram,
                                           batch_kmer_keys, count_kmers_global,
                                           kmer_key_sentinel,
                                           make_global_table, sortjoin_bins,
+                                          sortjoin_pad_size,
                                           tnf_histogram,
                                           tnf_histogram_segsum,
                                           use_segsum_impl)
@@ -293,7 +294,7 @@ class FeatureExtractor:
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
         per_batch = keys_parts[0].shape[0]
-        npad = 1 << (total - 1).bit_length()  # pow2: O(log N) compilations
+        npad = sortjoin_pad_size(total)
         if npad > total:
             keys_parts.append(jnp.full(
                 npad - total, kmer_key_sentinel(c.kmer), jnp.int32))

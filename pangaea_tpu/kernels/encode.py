@@ -103,9 +103,25 @@ def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     assert k <= 15, f"k={k} unsupported: values must fit int32 (k <= 15)"
     c = codes.astype(jnp.int32)
     safe = jnp.where(c < 4, c, 0)
+    # binary-doubling assembly: build span-2^m packed values (a_m[i] packs
+    # bases i..i+2^m-1), then OR together k's binary decomposition —
+    # ceil(log2 k) + popcount(k) shifted ORs instead of k (k=15: 7 vs 15
+    # passes over the (R, W) hot array).
+    spans = {1: safe}
+    m = 1
+    while m * 2 <= k:
+        prev = spans[m]
+        spans[m * 2] = (prev[:, :prev.shape[1] - m] << (2 * m)) \
+            | prev[:, m:]
+        m *= 2
     acc = jnp.zeros((R, W), dtype=jnp.int32)
-    for j in range(k):
-        acc = (acc << 2) | jax_slice(safe, j, W)
+    off, rem = 0, k
+    while rem:
+        span = 1 << (rem.bit_length() - 1)
+        part = jax_slice(spans[span], off, W)
+        acc = acc | (part << (2 * (rem - span)))
+        off += span
+        rem -= span
     invalid = (c >= 4).astype(jnp.int32)
     csum = jnp.cumsum(invalid, axis=1)
     # bad(i) = number of invalid codes in [i, i+k)

@@ -288,6 +288,20 @@ def kmer_key_sentinel(k: int) -> int:
     return 4 ** k
 
 
+_SORTJOIN_PAD_QUANTUM = 1 << 22  # 4M
+
+
+def sortjoin_pad_size(n: int) -> int:
+    """Padded sort length: pow2 below 4M (tests), else the next 4M
+    multiple — sort cost is ~linear in operand length, so fine-grained
+    padding beats pow2 (a 36M dataset would otherwise sort 64M), at the
+    price of one cached compilation per distinct multiple."""
+    if n <= _SORTJOIN_PAD_QUANTUM:
+        return 1 << max(0, (n - 1)).bit_length()
+    q = _SORTJOIN_PAD_QUANTUM
+    return ((n + q - 1) // q) * q
+
+
 @functools.partial(jax.jit, static_argnames=("k", "overlap"))
 def batch_kmer_keys(codes: jax.Array, lengths: jax.Array, cont: jax.Array,
                     *, k: int, overlap: int) -> jax.Array:
