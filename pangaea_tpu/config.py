@@ -38,6 +38,14 @@ class FeatureConfig:
     # Host-side streaming batch geometry for the TPU kernels.
     reads_per_batch: int = 65536
     max_read_len: int = 256
+    # Pre-scan a read-length sample and pack rows at the observed maximum
+    # (rounded up to 8) instead of max_read_len: padding windows beyond
+    # the read carry the sort/histogram sentinel but still cost compute
+    # (150 bp reads in 256-wide rows waste ~44% of the feature pass).
+    # A longer read appearing later is still exact: the python packer
+    # splits it across continuation rows; the native path raises and the
+    # extractor retries once at max_read_len.
+    auto_row_len: bool = True
     # Group-histogram implementation: 'auto', 'scatter', 'segsum', or
     # 'sortjoin'. See kernels/features.py — XLA TPU serializes per-element
     # scatters at ~15 ns/update, so the scatter-free segsum path is ~2-5x

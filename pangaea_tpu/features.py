@@ -59,6 +59,7 @@ class SortJoinOverflow(RuntimeError):
 class FeatureExtractor:
     def __init__(self, cfg: FeatureConfig, feature_dir: str):
         self.cfg = cfg
+        self._rl: Optional[int] = None  # auto row length for this extract
         self.dir = feature_dir
         os.makedirs(feature_dir, exist_ok=True)
         c = cfg
@@ -91,6 +92,64 @@ class FeatureExtractor:
         else:
             raise ValueError("reads must be specified")
 
+    # ---- row geometry -----------------------------------------------------
+
+    @property
+    def row_len(self) -> int:
+        """Packed row width: the auto-sampled length when enabled, else
+        cfg.max_read_len. Rows narrower than the longest read are still
+        exact — the python packer splits overlong reads across
+        continuation rows; the native path raises OverlongReadError and
+        extract_features retries once at cfg.max_read_len."""
+        return self._rl or self.cfg.max_read_len
+
+    def _auto_row_len(self, reads1: str, reads2: str, interleaved: str,
+                      sample: int = 200_000) -> Optional[int]:
+        """Max read length over a prefix sample, rounded up to 8. Padding
+        windows beyond the read carry the sentinel but still cost sort
+        and histogram compute (150 bp reads in 256-wide rows waste ~44%
+        of the feature pass)."""
+        c = self.cfg
+        paths = [interleaved] if interleaved else [
+            p for p in (reads1, reads2) if p]
+        if not paths:
+            return None
+        mx = 0
+        scanned = False
+        try:
+            from pangaea_tpu.native import (NativeFastqReader,
+                                            native_available)
+            if native_available():
+                remaining = sample
+                for p in paths:
+                    with NativeFastqReader(p, max_len=1) as rd:
+                        while remaining > 0:
+                            out = rd.read(min(65536, remaining))
+                            if out is None:
+                                break
+                            mx = max(mx, int(out[1].max(initial=0)))
+                            remaining -= len(out[1])
+                scanned = True
+        except Exception as e:
+            log.debug("native row-length scan failed (%s)", e)
+        if not scanned:
+            n = 0
+            for p in paths:
+                for rec in iter_fastq_records(p):
+                    mx = max(mx, len(rec.seq))
+                    n += 1
+                    if n >= sample:
+                        break
+                if n >= sample:
+                    break
+        if mx == 0:
+            return None
+        row = min(c.max_read_len, max(c.kmer, -(-mx // 8) * 8))
+        if row != c.max_read_len:
+            log.info("auto row length %d (sampled max read %d, "
+                     "max_read_len %d)", row, mx, c.max_read_len)
+        return row
+
     # ---- passes -----------------------------------------------------------
 
     def _global_batches(self, reads1: str, reads2: str, interleaved: str):
@@ -109,10 +168,10 @@ class FeatureExtractor:
             from pangaea_tpu.io.fast_packing import native_seq_batches
             paths = [interleaved] if interleaved else [reads1, reads2]
             yield from native_seq_batches(
-                paths, c.max_read_len, c.reads_per_batch,
+                paths, self.row_len, c.reads_per_batch,
                 min_qual_char=min_qual)
             return
-        packer = ReadPacker(max_read_len=c.max_read_len, overlap=c.kmer - 1,
+        packer = ReadPacker(max_read_len=self.row_len, overlap=c.kmer - 1,
                             reads_per_batch=c.reads_per_batch,
                             min_qual_char=min_qual)
         yield from packer.iter_batches(
@@ -141,7 +200,7 @@ class FeatureExtractor:
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
         lut = jnp.asarray(canonical_rank_lut(c.tnf_kmer))
-        gp = GroupPacker(min_len=c.min_length, max_read_len=c.max_read_len,
+        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
                          overlap=overlap, reads_per_batch=c.reads_per_batch)
         use_native = False
         if interleaved and c.bug_compat_boundary_leak:
@@ -153,7 +212,7 @@ class FeatureExtractor:
         if use_native:
             from pangaea_tpu.io.fast_packing import native_group_chunks
             chunks = native_group_chunks(
-                interleaved, c.min_length, c.max_read_len,
+                interleaved, c.min_length, self.row_len,
                 c.reads_per_batch, gp.groups_per_chunk)
         else:
             groups = iter_barcode_groups(
@@ -228,7 +287,7 @@ class FeatureExtractor:
 
     def _sortjoin_chunks(self, interleaved: str):
         c = self.cfg
-        gp = GroupPacker(min_len=c.min_length, max_read_len=c.max_read_len,
+        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
                          overlap=c.kmer - 1,
                          reads_per_batch=c.reads_per_batch,
                          keep_dropped=True)
@@ -242,7 +301,7 @@ class FeatureExtractor:
         if use_native:
             from pangaea_tpu.io.fast_packing import native_group_chunks
             return gp.groups_per_chunk, native_group_chunks(
-                interleaved, c.min_length, c.max_read_len,
+                interleaved, c.min_length, self.row_len,
                 c.reads_per_batch, gp.groups_per_chunk, keep_dropped=True)
         groups = iter_barcode_groups(
             iter_read_pairs_interleaved(interleaved),
@@ -362,27 +421,45 @@ class FeatureExtractor:
         pd.DataFrame(np.column_stack([names, abd])).to_pickle(self.abd_pkl)
         pd.DataFrame(np.column_stack([names, tnf])).to_pickle(self.tnf_pkl)
 
+    def _extract_inner(self, reads1: str, reads2: str, interleaved: str
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.sortjoin_eligible(reads1, reads2, interleaved):
+            try:
+                return self.group_features_sortjoin(interleaved)
+            except SortJoinOverflow as e:
+                log.warning("sort-join overflow (%s); restarting on the "
+                            "streaming table path", e)
+        table = self.global_kmer_table(reads1, reads2, interleaved)
+        names, abd, tnf = self.group_features(table, reads1, reads2,
+                                              interleaved)
+        del table
+        return names, abd, tnf
+
     def extract_features(self, reads1: str = "", reads2: str = "",
                          interleaved: str = ""
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if os.path.exists(self.abd_gz) and os.path.exists(self.tnf_gz):
             log.info("features already extracted, loading")
             return self.load_features()
-        if self.sortjoin_eligible(reads1, reads2, interleaved):
-            try:
-                names, abd, tnf = self.group_features_sortjoin(interleaved)
-            except SortJoinOverflow as e:
-                log.warning("sort-join overflow (%s); restarting on the "
-                            "streaming table path", e)
-            else:
-                self._save(names, abd, tnf)
-                with open(self.marker, "w") as f:
-                    f.write("feature finished")
-                return names, abd, tnf
-        table = self.global_kmer_table(reads1, reads2, interleaved)
-        names, abd, tnf = self.group_features(table, reads1, reads2,
-                                              interleaved)
-        del table
+        self._rl = (self._auto_row_len(reads1, reads2, interleaved)
+                    if self.cfg.auto_row_len else None)
+        try:
+            names, abd, tnf = self._extract_inner(reads1, reads2,
+                                                  interleaved)
+        except Exception as e:
+            from pangaea_tpu.io.fast_packing import OverlongReadError
+            if not (isinstance(e, OverlongReadError)
+                    and self._rl is not None):
+                raise
+            # a read longer than the sampled maximum appeared on the
+            # native path (the python packer would have split it);
+            # retry once at the configured width
+            log.warning("auto row length %d too small (%s); retrying at "
+                        "max_read_len=%d", self._rl, e,
+                        self.cfg.max_read_len)
+            self._rl = None
+            names, abd, tnf = self._extract_inner(reads1, reads2,
+                                                  interleaved)
         self._save(names, abd, tnf)
         with open(self.marker, "w") as f:
             f.write("feature finished")

@@ -312,19 +312,10 @@ def batch_kmer_keys(codes: jax.Array, lengths: jax.Array, cont: jax.Array,
     return jnp.where(valid, canon, jnp.int32(kmer_key_sentinel(k))).ravel()
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
-def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
-                  vector_size: int) -> jax.Array:
-    """Per-window abundance bin (count//window) in original order; -1 for
-    windows that contribute nothing (invalid, or bin >= vector_size).
-
-    keys: (N,) int32 from :func:`batch_kmer_keys` (padding entries must be
-    the sentinel). Each instance's global count is the length of its run
-    in the sorted order, recovered without gathers: run starts/ends are
-    elementwise compares, and their positions fill forward/backward via
-    cummax / reverse-cummin (positions are monotone along the array, so
-    the fills are exact).
-    """
+def _sortjoin_bins_impl(keys: jax.Array, k: int, window: int,
+                        vector_size: int) -> jax.Array:
+    """Traceable core of :func:`sortjoin_bins` (reused by the distributed
+    variant in parallel/dist.py on each shard's routed keys)."""
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     sk, si = jax.lax.sort((keys, idx), num_keys=1)
@@ -339,6 +330,22 @@ def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
     binv = jnp.where(ok, bins, -1)
     _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
     return bins_orig
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
+def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
+                  vector_size: int) -> jax.Array:
+    """Per-window abundance bin (count//window) in original order; -1 for
+    windows that contribute nothing (invalid, or bin >= vector_size).
+
+    keys: (N,) int32 from :func:`batch_kmer_keys` (padding entries must be
+    the sentinel). Each instance's global count is the length of its run
+    in the sorted order, recovered without gathers: run starts/ends are
+    elementwise compares, and their positions fill forward/backward via
+    cummax / reverse-cummin (positions are monotone along the array, so
+    the fills are exact).
+    """
+    return _sortjoin_bins_impl(keys, k, window, vector_size)
 
 
 @functools.partial(

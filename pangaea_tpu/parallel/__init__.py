@@ -10,9 +10,11 @@ from pangaea_tpu.parallel.mesh import (data_mesh, data_sharding,
                                        initialize_distributed)
 from pangaea_tpu.parallel.dist import (ShardedFeatureExtractor,
                                        make_sharded_kmer_counter,
+                                       make_sharded_sortjoin,
                                        sharded_train_block, sharded_lloyd)
 
 __all__ = ["data_mesh", "data_sharding", "replicated_sharding",
            "initialize_distributed", "ShardedFeatureExtractor",
-           "make_sharded_kmer_counter", "sharded_train_block",
+           "make_sharded_kmer_counter", "make_sharded_sortjoin",
+           "sharded_train_block",
            "sharded_lloyd"]

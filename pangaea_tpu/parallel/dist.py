@@ -142,6 +142,86 @@ def make_sharded_kmer_counter(mesh: Mesh, k: int, overlap: int,
     return init_table, step, unshard, (mat, row)
 
 
+def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
+                          capacity_factor: float = 2.0):
+    """Distributed sort-join (kernels/features.py §sort-join) over a
+    ('data',) mesh: per-window global-count bins without any global sort
+    or gathered key array.
+
+    Equal keys must meet on one device to be counted, so each shard
+    hash-partitions its keys (any deterministic key->shard map preserves
+    exact counts; a multiplicative hash balances the canonical key-space
+    skew), routes fixed-capacity buckets with all_to_all, runs the local
+    sort-join core on its routed keys, and routes each element's bin back
+    along the inverse all_to_all. All per-device work — the
+    bucketization sort, the routed sort-join, the restore sort — is
+    ~(capacity_factor + 3)/2 local sort volumes of N/n_dev elements vs
+    the single-device 2 sorts of N, so both compute and the HBM window
+    cap scale with the mesh.
+
+    Bucket overflow is counted and returned, never silently dropped
+    (same contract as make_sharded_kmer_counter): a nonzero count means
+    rerun with a larger capacity_factor; hash partitioning keeps bucket
+    loads multinomial-tight so 2.0 has ample slack.
+
+    Returns (bins_fn, row_sharding): ``bins_fn(keys)`` maps a P('data')
+    (N,) int32 key array (sentinel 4^k = invalid) to (bins, overflow)
+    with bins aligned to keys in original order (-1 = no contribution).
+    """
+    from jax import shard_map
+
+    from pangaea_tpu.kernels.features import (_sortjoin_bins_impl,
+                                              kmer_key_sentinel)
+
+    n_dev = mesh.devices.size
+    sentinel = jnp.int32(kmer_key_sentinel(k))
+    row = NamedSharding(mesh, P("data"))
+
+    def body(keys):
+        n_local = keys.shape[0]
+        cap = max(1, int(capacity_factor * n_local / n_dev))
+        valid = keys < sentinel
+        h = keys.astype(jnp.uint32) * jnp.uint32(2654435761)
+        dest = (h % jnp.uint32(n_dev)).astype(jnp.int32)
+        dest = jnp.where(valid, dest, jnp.int32(n_dev))
+        pos = jnp.arange(n_local, dtype=jnp.int32)
+        sdest, skeys, spos = jax.lax.sort((dest, keys, pos), num_keys=1)
+        bounds = jnp.arange(n_dev, dtype=jnp.int32)
+        starts = jnp.searchsorted(sdest, bounds).astype(jnp.int32)
+        ends = jnp.searchsorted(sdest, bounds, side="right").astype(jnp.int32)
+        counts = ends - starts
+        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+        # contiguous dynamic slices (buckets are runs of the dest-sorted
+        # array — no per-element gather anywhere on this path)
+        skeys_pad = jnp.concatenate([skeys, jnp.full(cap, sentinel,
+                                                     jnp.int32)])
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        buckets = jnp.stack([
+            jnp.where(lane < counts[d],
+                      jax.lax.dynamic_slice(skeys_pad, (starts[d],), (cap,)),
+                      sentinel)
+            for d in range(n_dev)])
+        recv = jax.lax.all_to_all(buckets, "data", split_axis=0,
+                                  concat_axis=0, tiled=True)
+        rbins = _sortjoin_bins_impl(recv.ravel(), k, window, vector_size)
+        back = jax.lax.all_to_all(rbins.reshape(n_dev, cap), "data",
+                                  split_axis=0, concat_axis=0, tiled=True)
+        # unpack: write each bucket's bins back over its dest-sorted run
+        # (ascending d: bucket d's masked tail spills -1 into d+1's region,
+        # which d+1's own write then covers; the last spill lands in the
+        # sentinel tail / invalid region, where -1 is the right answer)
+        out = jnp.full(n_local + cap, -1, jnp.int32)
+        for d in range(n_dev):
+            piece = jnp.where(lane < counts[d], back[d], -1)
+            out = jax.lax.dynamic_update_slice(out, piece, (starts[d],))
+        _, bins = jax.lax.sort((spos, out[:n_local]), num_keys=1)
+        return bins, overflow[None]
+
+    bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("data"),),
+                                out_specs=(P("data"), P("data"))))
+    return bins_fn, row
+
+
 class ShardedFeatureExtractor(FeatureExtractor):
     """FeatureExtractor whose device batches shard rows over the mesh."""
 
@@ -159,9 +239,11 @@ class ShardedFeatureExtractor(FeatureExtractor):
     def sortjoin_eligible(self, reads1: str, reads2: str,
                           interleaved: str) -> bool:
         # The single-device sort-join would make GSPMD all-gather the full
-        # key array for the global sort; the sharded path keeps the
-        # key-range-routed table instead. (A distributed sort-join —
-        # shard-local sort + ppermute merge — is possible future work.)
+        # key array for the global sort; the sharded extractor keeps the
+        # key-range-routed table. The distributed building block exists
+        # (make_sharded_sortjoin: hash-routed buckets + shard-local
+        # sort-join, tested equal to the single-device kernel); wiring it
+        # through the chunked extractor streams is future work.
         return False
 
     def _shard_batch(self, b):

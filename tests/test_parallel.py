@@ -171,3 +171,41 @@ def test_graft_entry_and_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (256, 32)
     g.dryrun_multichip(8)
+
+
+def test_sharded_sortjoin_matches_single(mesh):
+    """Distributed sort-join (hash-routed buckets + local sort-join) ==
+    single-device sortjoin_bins, including sentinels and bin capping."""
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.kernels.features import kmer_key_sentinel, sortjoin_bins
+    from pangaea_tpu.parallel import make_sharded_sortjoin
+
+    k, window, vec = 8, 3, 9
+    rng = np.random.RandomState(0)
+    n = 8 * 4096
+    # duplicates across shards force cross-device count merges
+    keys = rng.randint(0, 2000, n).astype(np.int32)
+    keys[rng.rand(n) < 0.15] = kmer_key_sentinel(k)
+    bins_fn, row = make_sharded_sortjoin(mesh, k, window, vec)
+    keys_d = jax.device_put(jnp.asarray(keys), row)
+    got, overflow = bins_fn(keys_d)
+    assert int(np.asarray(overflow).sum()) == 0
+    want = sortjoin_bins(jnp.asarray(keys), k=k, window=window,
+                         vector_size=vec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_sortjoin_overflow_detected(mesh):
+    """Pathological key skew (all keys equal -> one bucket) reports
+    overflow instead of silently dropping updates."""
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.parallel import make_sharded_sortjoin
+
+    n = 8 * 1024
+    keys = np.full(n, 7, np.int32)
+    bins_fn, row = make_sharded_sortjoin(mesh, 8, 3, 9,
+                                         capacity_factor=1.0)
+    got, overflow = bins_fn(jax.device_put(jnp.asarray(keys), row))
+    assert int(np.asarray(overflow).sum()) > 0

@@ -193,3 +193,71 @@ def test_sortjoin_overflow_falls_back(tmp_path):
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_auto_row_len_equivalence(tmp_path):
+    """auto_row_len packs narrow rows; features are unchanged, and
+    rows narrower than the reads (python split path) are also exact."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=5_000, n_barcodes=10,
+        pairs_per_barcode=6, read_len=40, seed=9)
+    outs = {}
+    for tag, kw in (
+            ("wide", dict(auto_row_len=False)),
+            ("auto", dict(auto_row_len=True)),
+            # narrower than the reads: python packer splits across rows
+            ("split", dict(auto_row_len=False, max_read_len=32))):
+        cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                            max_read_len=kw.pop("max_read_len", 64),
+                            reads_per_batch=32, hist_impl="sortjoin",
+                            min_qual_char=None, **kw)
+        fe = FeatureExtractor(cfg, str(tmp_path / tag))
+        if tag == "split":
+            # the native path raises on overlong reads; force python
+            import pangaea_tpu.native as nat
+            saved = nat.native_available
+            nat.native_available = lambda: False
+            try:
+                outs[tag] = fe.extract_features(interleaved=fq)
+            finally:
+                nat.native_available = saved
+        else:
+            outs[tag] = fe.extract_features(interleaved=fq)
+        if tag == "auto":
+            assert fe.row_len == 40
+    for tag in ("auto", "split"):
+        np.testing.assert_array_equal(outs["wide"][1], outs[tag][1])
+        np.testing.assert_array_equal(outs["wide"][2], outs[tag][2])
+        assert outs["wide"][0].tolist() == outs[tag][0].tolist()
+
+
+def test_auto_row_len_retry(tmp_path, monkeypatch):
+    """A native-path overlong read after a too-small sampled row width
+    retries once at max_read_len and still matches."""
+    import pangaea_tpu.native as nat
+    if not nat.native_available():
+        import pytest
+        pytest.skip("native IO unavailable")
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=5_000, n_barcodes=10,
+        pairs_per_barcode=6, read_len=40, seed=9)
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=32,
+                        hist_impl="sortjoin", min_qual_char=None)
+    fe = FeatureExtractor(cfg, str(tmp_path / "retry"))
+    monkeypatch.setattr(FeatureExtractor, "_auto_row_len",
+                        lambda self, *a, **k: 16)  # too small for 40 bp
+    out_r = fe.extract_features(interleaved=fq)
+    assert fe.row_len == 64  # fell back to the configured width
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="sortjoin", min_qual_char=None,
+                         auto_row_len=False)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "plain"))
+    out_p = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(out_r[1], out_p[1])
+    np.testing.assert_array_equal(out_r[2], out_p[2])
