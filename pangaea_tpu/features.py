@@ -353,14 +353,12 @@ class FeatureExtractor:
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
         per_batch = keys_parts[0].shape[0]
-        npad = sortjoin_pad_size(total)
+        npad = self._sortjoin_pad_size(total)
         if npad > total:
-            keys_parts.append(jnp.full(
-                npad - total, kmer_key_sentinel(c.kmer), jnp.int32))
+            keys_parts.append(self._sortjoin_pad(npad - total))
         keys = jnp.concatenate(keys_parts)
         del keys_parts
-        bins = sortjoin_bins(keys, k=c.kmer, window=c.window_size,
-                             vector_size=c.vector_size)
+        bins = self._sortjoin_bins(keys)
         del keys
         rows = c.reads_per_batch
         wrow = per_batch // rows
@@ -386,6 +384,22 @@ class FeatureExtractor:
                     np.zeros((0, ncols), np.int32))
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
+
+    def _sortjoin_pad_size(self, total: int) -> int:
+        """Padded sort length (sharded twin rounds to the mesh size)."""
+        return sortjoin_pad_size(total)
+
+    def _sortjoin_pad(self, n: int) -> jnp.ndarray:
+        """Sentinel padding for the sort (sharded twin places it on the
+        mesh)."""
+        return jnp.full(n, kmer_key_sentinel(self.cfg.kmer), jnp.int32)
+
+    def _sortjoin_bins(self, keys: jnp.ndarray) -> jnp.ndarray:
+        """Key array -> per-window bins; ShardedFeatureExtractor overrides
+        with the all_to_all-routed distributed sort-join."""
+        c = self.cfg
+        return sortjoin_bins(keys, k=c.kmer, window=c.window_size,
+                             vector_size=c.vector_size)
 
     def _device_batch(self, b):
         """Host batch -> device arrays; ShardedFeatureExtractor overrides

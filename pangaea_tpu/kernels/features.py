@@ -332,6 +332,32 @@ def _sortjoin_bins_impl(keys: jax.Array, k: int, window: int,
     return bins_orig
 
 
+def _sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, k: int,
+                            window: int, vector_size: int) -> jax.Array:
+    """Weighted twin of :func:`_sortjoin_bins_impl`: each element carries a
+    pre-aggregated count (the distributed path routes one (key, local run
+    length) pair per source device instead of every instance, so a hot
+    key — genomic k-mer multiplicities are Zipfian — loads its owner with
+    at most n_dev elements). Per-element global count = run weight sum,
+    via the same monotone boundary fills on the weight cumsum."""
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sk, sw, si = jax.lax.sort((keys, weights, idx), num_keys=1)
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    cw = jnp.cumsum(sw)
+    excl = cw - sw
+    run_before = jax.lax.cummax(jnp.where(start, excl, 0))
+    run_total = jax.lax.cummin(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+    count = run_total - run_before
+    bins = count // jnp.int32(window)
+    ok = (sk < kmer_key_sentinel(k)) & (count > 0) & (bins < vector_size)
+    binv = jnp.where(ok, bins, -1)
+    _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
+    return bins_orig
+
+
 @functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
 def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
                   vector_size: int) -> jax.Array:

@@ -150,19 +150,22 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
 
     Equal keys must meet on one device to be counted, so each shard
     hash-partitions its keys (any deterministic key->shard map preserves
-    exact counts; a multiplicative hash balances the canonical key-space
-    skew), routes fixed-capacity buckets with all_to_all, runs the local
-    sort-join core on its routed keys, and routes each element's bin back
-    along the inverse all_to_all. All per-device work — the
-    bucketization sort, the routed sort-join, the restore sort — is
-    ~(capacity_factor + 3)/2 local sort volumes of N/n_dev elements vs
-    the single-device 2 sorts of N, so both compute and the HBM window
-    cap scale with the mesh.
+    exact counts). Routing is RUN-LENGTH COMPRESSED: each shard sorts its
+    keys locally and routes one (key, local_count) pair per distinct key
+    — genomic k-mer multiplicities are Zipfian, and routing raw
+    instances would pile a hot key's entire load onto its owning shard
+    (measured: simulated reads overflow any reasonable bucket capacity).
+    The owner sums the routed counts per key (weighted sort-join core)
+    and each source fills the returned run-start bins forward through
+    its local runs with a segmented associative_scan. All per-device
+    work is local sort volumes of N/n_dev elements, so both compute and
+    the HBM window cap scale with the mesh.
 
     Bucket overflow is counted and returned, never silently dropped
     (same contract as make_sharded_kmer_counter): a nonzero count means
-    rerun with a larger capacity_factor; hash partitioning keeps bucket
-    loads multinomial-tight so 2.0 has ample slack.
+    rerun with a larger capacity_factor; compressed routing bounds a
+    key's load on its owner at n_dev elements, so overflow needs
+    adversarial hash collisions, not natural data.
 
     Returns (bins_fn, row_sharding): ``bins_fn(keys)`` maps a P('data')
     (N,) int32 key array (sentinel 4^k = invalid) to (bins, overflow)
@@ -170,7 +173,7 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     """
     from jax import shard_map
 
-    from pangaea_tpu.kernels.features import (_sortjoin_bins_impl,
+    from pangaea_tpu.kernels.features import (_sortjoin_bins_weighted,
                                               kmer_key_sentinel)
 
     n_dev = mesh.devices.size
@@ -180,12 +183,23 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     def body(keys):
         n_local = keys.shape[0]
         cap = max(1, int(capacity_factor * n_local / n_dev))
-        valid = keys < sentinel
-        h = keys.astype(jnp.uint32) * jnp.uint32(2654435761)
-        dest = (h % jnp.uint32(n_dev)).astype(jnp.int32)
-        dest = jnp.where(valid, dest, jnp.int32(n_dev))
-        pos = jnp.arange(n_local, dtype=jnp.int32)
-        sdest, skeys, spos = jax.lax.sort((dest, keys, pos), num_keys=1)
+        pos0 = jnp.arange(n_local, dtype=jnp.int32)
+        posi = pos0
+        # local sort by key: runs pre-aggregate duplicates, so each key
+        # routes AT MOST ONCE per source device — genomic k-mer
+        # multiplicities are Zipfian, and routing every instance would
+        # pile a hot key's entire load onto its owning shard
+        skeys, spos = jax.lax.sort((keys, pos0), num_keys=1)
+        start = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+        end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+        run_end = jax.lax.cummin(jnp.where(end, posi, n_local), reverse=True)
+        run_len = run_end - posi + 1  # valid at run starts (posi == start)
+        route = start & (skeys < sentinel)
+        h = skeys.astype(jnp.uint32) * jnp.uint32(2654435761)
+        dest = jnp.where(route, (h % jnp.uint32(n_dev)).astype(jnp.int32),
+                         jnp.int32(n_dev))
+        sdest, rkeys, rcnt, rpos = jax.lax.sort(
+            (dest, skeys, run_len, posi), num_keys=1)
         bounds = jnp.arange(n_dev, dtype=jnp.int32)
         starts = jnp.searchsorted(sdest, bounds).astype(jnp.int32)
         ends = jnp.searchsorted(sdest, bounds, side="right").astype(jnp.int32)
@@ -193,28 +207,41 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
         overflow = jnp.sum(jnp.maximum(counts - cap, 0))
         # contiguous dynamic slices (buckets are runs of the dest-sorted
         # array — no per-element gather anywhere on this path)
-        skeys_pad = jnp.concatenate([skeys, jnp.full(cap, sentinel,
-                                                     jnp.int32)])
+        kpad = jnp.concatenate([rkeys, jnp.full(cap, sentinel, jnp.int32)])
+        cpad = jnp.concatenate([rcnt, jnp.zeros(cap, jnp.int32)])
         lane = jnp.arange(cap, dtype=jnp.int32)
-        buckets = jnp.stack([
-            jnp.where(lane < counts[d],
-                      jax.lax.dynamic_slice(skeys_pad, (starts[d],), (cap,)),
-                      sentinel)
-            for d in range(n_dev)])
-        recv = jax.lax.all_to_all(buckets, "data", split_axis=0,
-                                  concat_axis=0, tiled=True)
-        rbins = _sortjoin_bins_impl(recv.ravel(), k, window, vector_size)
+        bk, bc = [], []
+        for d in range(n_dev):
+            take = lane < counts[d]
+            bk.append(jnp.where(
+                take, jax.lax.dynamic_slice(kpad, (starts[d],), (cap,)),
+                sentinel))
+            bc.append(jnp.where(
+                take, jax.lax.dynamic_slice(cpad, (starts[d],), (cap,)), 0))
+        recv_k = jax.lax.all_to_all(jnp.stack(bk), "data", split_axis=0,
+                                    concat_axis=0, tiled=True)
+        recv_c = jax.lax.all_to_all(jnp.stack(bc), "data", split_axis=0,
+                                    concat_axis=0, tiled=True)
+        rbins = _sortjoin_bins_weighted(recv_k.ravel(), recv_c.ravel(),
+                                        k, window, vector_size)
         back = jax.lax.all_to_all(rbins.reshape(n_dev, cap), "data",
                                   split_axis=0, concat_axis=0, tiled=True)
         # unpack: write each bucket's bins back over its dest-sorted run
         # (ascending d: bucket d's masked tail spills -1 into d+1's region,
         # which d+1's own write then covers; the last spill lands in the
-        # sentinel tail / invalid region, where -1 is the right answer)
+        # unrouted tail, where -1 is the right placeholder)
         out = jnp.full(n_local + cap, -1, jnp.int32)
         for d in range(n_dev):
             piece = jnp.where(lane < counts[d], back[d], -1)
             out = jax.lax.dynamic_update_slice(out, piece, (starts[d],))
-        _, bins = jax.lax.sort((spos, out[:n_local]), num_keys=1)
+        # back to key-sorted order: run starts now hold their run's bin
+        _, kb = jax.lax.sort((rpos, out[:n_local]), num_keys=1)
+        # segmented fill-forward: every element inherits its run start's
+        # bin (sentinel runs keep -1 from their own unrouted start)
+        _, filled = jax.lax.associative_scan(
+            lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
+            (start, kb))
+        _, bins = jax.lax.sort((spos, filled), num_keys=1)
         return bins, overflow[None]
 
     bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("data"),),
@@ -235,16 +262,46 @@ class ShardedFeatureExtractor(FeatureExtractor):
         self._row_sharding = NamedSharding(mesh, P("data"))
         self._mat_sharding = NamedSharding(mesh, P("data", None))
         self._repl = NamedSharding(mesh, P())
+        self._sortjoin_fn = None  # built lazily on first use
 
     def sortjoin_eligible(self, reads1: str, reads2: str,
                           interleaved: str) -> bool:
-        # The single-device sort-join would make GSPMD all-gather the full
-        # key array for the global sort; the sharded extractor keeps the
-        # key-range-routed table. The distributed building block exists
-        # (make_sharded_sortjoin: hash-routed buckets + shard-local
-        # sort-join, tested equal to the single-device kernel); wiring it
-        # through the chunked extractor streams is future work.
-        return False
+        # Same eligibility as the base class, but the window cap scales
+        # with the mesh: make_sharded_sortjoin holds and sorts only
+        # N/n_dev keys per device.
+        saved = self.cfg.sortjoin_max_windows
+        self.cfg.sortjoin_max_windows = saved * self.mesh.devices.size
+        try:
+            return super().sortjoin_eligible(reads1, reads2, interleaved)
+        finally:
+            self.cfg.sortjoin_max_windows = saved
+
+    def _sortjoin_pad_size(self, total: int) -> int:
+        from pangaea_tpu.kernels.features import sortjoin_pad_size
+        npad = sortjoin_pad_size(total)
+        n = self.mesh.devices.size
+        return npad + (-npad) % n  # P('data') needs n_dev-divisible length
+
+    def _sortjoin_pad(self, n: int) -> jnp.ndarray:
+        return jax.device_put(super()._sortjoin_pad(n), self._row_sharding)
+
+    def _sortjoin_bins(self, keys: jnp.ndarray) -> jnp.ndarray:
+        """Distributed sort-join: keys (already row-sharded, since every
+        batch_kmer_keys output inherits the batch's 'data' sharding) run
+        through the all_to_all-routed kernel; overflow is asserted zero
+        (make_sharded_sortjoin contract — never silently dropped)."""
+        c = self.cfg
+        if self._sortjoin_fn is None:
+            self._sortjoin_fn = make_sharded_sortjoin(
+                self.mesh, c.kmer, c.window_size, c.vector_size)[0]
+        keys = jax.device_put(keys, self._row_sharding)
+        bins, overflow = self._sortjoin_fn(keys)
+        ov = int(np.asarray(overflow).sum())
+        if ov:
+            raise RuntimeError(
+                f"sort-join routing bucket overflow ({ov} keys): raise "
+                "capacity_factor (pathologically skewed key hash)")
+        return bins
 
     def _shard_batch(self, b):
         return (jax.device_put(jnp.asarray(b.codes), self._mat_sharding),

@@ -143,7 +143,7 @@ def test_sharded_lloyd_matches_single(mesh):
     assert adjusted_rand_score(l1, np.asarray(l2)) == 1.0
 
 
-@pytest.mark.parametrize("impl", ["scatter", "segsum"])
+@pytest.mark.parametrize("impl", ["scatter", "segsum", "sortjoin"])
 def test_sharded_feature_extractor_matches_single(mesh, tmp_path, impl):
     from pangaea_tpu.config import FeatureConfig
     from pangaea_tpu.features import FeatureExtractor
@@ -196,15 +196,37 @@ def test_sharded_sortjoin_matches_single(mesh):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_sharded_sortjoin_overflow_detected(mesh):
-    """Pathological key skew (all keys equal -> one bucket) reports
-    overflow instead of silently dropping updates."""
+def test_sharded_sortjoin_hot_key(mesh):
+    """A single hot key (Zipfian multiplicity) routes as one compressed
+    (key, count) pair per source, so it neither overflows nor miscounts."""
     import jax
     import jax.numpy as jnp
     from pangaea_tpu.parallel import make_sharded_sortjoin
 
     n = 8 * 1024
-    keys = np.full(n, 7, np.int32)
+    keys = np.full(n, 7, np.int32)  # count 8192 -> bin 8192//3 = 2730 >= 9
+    bins_fn, row = make_sharded_sortjoin(mesh, 8, 3, 9,
+                                         capacity_factor=1.0)
+    got, overflow = bins_fn(jax.device_put(jnp.asarray(keys), row))
+    assert int(np.asarray(overflow).sum()) == 0
+    assert (np.asarray(got) == -1).all()  # bin >= vector_size -> dropped
+    # same hot key, window wide enough to keep the bin in range
+    bins_fn2, _ = make_sharded_sortjoin(mesh, 8, 1024, 9,
+                                        capacity_factor=1.0)
+    got2, ov2 = bins_fn2(jax.device_put(jnp.asarray(keys), row))
+    assert int(np.asarray(ov2).sum()) == 0
+    assert (np.asarray(got2) == n // 1024).all()
+
+def test_sharded_sortjoin_overflow_detected(mesh):
+    """Adversarial hash collisions (distinct keys all mapping to one
+    shard: the multiplier is odd so dest == key mod n_dev for pow2
+    meshes) report overflow instead of silently dropping updates."""
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.parallel import make_sharded_sortjoin
+
+    n = 8 * 1024
+    keys = (8 * np.arange(n)).astype(np.int32) % (4 ** 8)
     bins_fn, row = make_sharded_sortjoin(mesh, 8, 3, 9,
                                          capacity_factor=1.0)
     got, overflow = bins_fn(jax.device_put(jnp.asarray(keys), row))
