@@ -494,6 +494,35 @@ class FeatureExtractor:
                 f.write(f"{s.decode()}\t{int(c)}\n")
         return len(nz)
 
+    def import_jellyfish_dump(self, path: str) -> jnp.ndarray:
+        """Load a jellyfish ``dump -c -t`` file into a dense count table —
+        the drop-in analog of count_kmer's ``-g`` input
+        (count_kmer.cpp:139-170): each line's k-mer string is
+        re-canonicalized on load, so dumps written with either strand
+        convention are accepted. Use with :meth:`group_features` to bin
+        against externally-computed global counts."""
+        from pangaea_tpu.kernels.encode import encode_bases, revcomp_kmers_np
+        k = self.cfg.kmer
+        vals, counts = [], []
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            for line in f:
+                mer, cnt = line.split()
+                if len(mer) != k:
+                    raise ValueError(
+                        f"dump k-mer '{mer}' length {len(mer)} != k={k}")
+                codes = encode_bases(mer.upper().encode("ascii"))
+                v = 0
+                for c in codes:
+                    v = (v << 2) | int(c)
+                vals.append(v)
+                counts.append(int(cnt))
+        v = np.asarray(vals, np.uint32)
+        canon = np.minimum(v, revcomp_kmers_np(v, k)).astype(np.int64)
+        t = np.zeros(4 ** k, np.int32)
+        np.add.at(t, canon, np.asarray(counts, np.int32))
+        return jnp.asarray(t)
+
     def load_features(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import pandas as pd
         if os.path.isfile(self.abd_pkl) and os.path.isfile(self.tnf_pkl):

@@ -120,3 +120,62 @@ def test_group_filters():
     assert not group_kept("", g, 5)
     assert group_kept("B", g, 21)   # concat len = 22 > 21
     assert not group_kept("B", g, 22)  # <= min_len dropped (count_kmer.cpp:62)
+
+
+def test_jellyfish_dump_roundtrip(tmp_path):
+    """export -> import reproduces the table; import re-canonicalizes
+    (count_kmer.cpp:144-169 accepts either strand form)."""
+    import jax.numpy as jnp
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.kernels.encode import decode_kmers, revcomp_kmers_np
+
+    k = 5
+    cfg = FeatureConfig(kmer=k)
+    fe = FeatureExtractor(cfg, str(tmp_path))
+    rng = np.random.RandomState(0)
+    t = np.zeros(4 ** k, np.int32)
+    keys = rng.choice(4 ** k, 50, replace=False).astype(np.uint32)
+    canon = np.minimum(keys, revcomp_kmers_np(keys, k))
+    np.add.at(t, canon.astype(np.int64), rng.randint(1, 9, 50))
+    dump = str(tmp_path / "dump.tsv")
+    fe.export_jellyfish_dump(jnp.asarray(t), dump)
+    back = np.asarray(fe.import_jellyfish_dump(dump))
+    np.testing.assert_array_equal(back, t)
+    # non-canonical strand form in the dump is re-canonicalized
+    nz = np.flatnonzero(t)
+    rc = revcomp_kmers_np(nz.astype(np.uint32), k)
+    with open(dump, "w") as f:
+        for v, c in zip(rc, t[nz]):
+            s = decode_kmers(np.array([v]), k)[0].decode()
+            f.write(f"{s}\t{int(c)}\n")
+    back2 = np.asarray(fe.import_jellyfish_dump(dump))
+    np.testing.assert_array_equal(back2, t)
+
+
+def test_group_features_from_imported_dump(tmp_path):
+    """Binning against an externally-supplied jellyfish dump (the
+    reference's count_kmer -g workflow, src/feature.py:107-109) matches
+    the self-counted path."""
+    import jax.numpy as jnp
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=4000,
+                          n_barcodes=10, pairs_per_barcode=6, read_len=40,
+                          seed=4)
+    cfg = FeatureConfig(kmer=9, min_length=100, max_read_len=64,
+                        reads_per_batch=32, hist_impl="scatter",
+                        min_qual_char=None)
+    fe = FeatureExtractor(cfg, str(tmp_path / "self"))
+    names, abd, tnf = fe.extract_features(interleaved=fq)
+    table = fe.global_kmer_table(interleaved=fq)
+    dump = str(tmp_path / "dump.tsv")
+    fe.export_jellyfish_dump(table, dump)
+    fe2 = FeatureExtractor(cfg, str(tmp_path / "imported"))
+    t2 = fe2.import_jellyfish_dump(dump)
+    n2, a2, _ = fe2.group_features(t2, interleaved=fq)
+    assert names.tolist() == n2.tolist()
+    np.testing.assert_array_equal(abd, a2)
