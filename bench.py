@@ -130,7 +130,7 @@ def device_features(batches, n_groups):
     from pangaea_tpu.kernels.features import (abundance_histogram_from_bins,
                                               batch_kmer_keys,
                                               kmer_key_sentinel,
-                                              sortjoin_bins,
+                                              sortjoin_bins_rowgrouped,
                                               sortjoin_pad_size,
                                               tnf_histogram_segsum)
     from pangaea_tpu.utils import device_sync
@@ -155,8 +155,11 @@ def device_features(batches, n_groups):
         if npad > total:
             keys_parts.append(jnp.full(npad - total, kmer_key_sentinel(K),
                                        jnp.int32))
-        bins = sortjoin_bins(jnp.concatenate(keys_parts), k=K,
-                             window=WINDOW, vector_size=VEC)
+        # row-grouped restore: the second sort is one packed uint32
+        # operand (within-row order is free to the histogram)
+        bins = sortjoin_bins_rowgrouped(
+            jnp.concatenate(keys_parts), k=K, window=WINDOW,
+            vector_size=VEC, row_windows=ROW_LEN - K + 1)
         hist = jnp.zeros((n_groups, VEC), jnp.int32)
         rows = dev_batches[0][0].shape[0]
         off = 0

@@ -273,6 +273,11 @@ class FeatureExtractor:
             return False
         if not interleaved:
             return False
+        if c.kmer > 15:
+            # sort-join is the ONLY large-k implementation (the dense 4^k
+            # table and int32 window values stop at k=15); the overflow
+            # cap is enforced mid-stream, not estimated away here
+            return True
         if c.hist_impl == "sortjoin":
             return True
         if jax.default_backend() == "cpu":
@@ -334,9 +339,8 @@ class FeatureExtractor:
             segs = []
             for b in chunk.batches:
                 codes, lengths, seg, cont = self._device_batch(b)
-                keys_parts.append(batch_kmer_keys(
-                    codes, lengths, cont, k=c.kmer, overlap=overlap))
-                total += keys_parts[-1].shape[0]
+                keys_parts.append(self._batch_keys(codes, lengths, cont))
+                total += keys_parts[-1][0].shape[0]
                 thist = tnf_histogram_segsum(
                     thist, codes, lengths, seg, cont, k=c.tnf_kmer,
                     num_cols=ncols, overlap=overlap, n_groups=G)
@@ -352,16 +356,18 @@ class FeatureExtractor:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
-        per_batch = keys_parts[0].shape[0]
+        per_batch = keys_parts[0][0].shape[0]
         npad = self._sortjoin_pad_size(total)
         if npad > total:
-            keys_parts.append(self._sortjoin_pad(npad - total))
-        keys = jnp.concatenate(keys_parts)
+            keys_parts.append(self._sortjoin_pad_tuple(npad - total))
+        nwords = len(keys_parts[0])
+        keys = tuple(jnp.concatenate([p[i] for p in keys_parts])
+                     for i in range(nwords))
         del keys_parts
-        bins = self._sortjoin_bins(keys)
-        del keys
         rows = c.reads_per_batch
         wrow = per_batch // rows
+        bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow)
+        del keys
         names: List[str] = []
         abd_rows, tnf_rows = [], []
         off = 0
@@ -401,6 +407,60 @@ class FeatureExtractor:
         return sortjoin_bins(keys, k=c.kmer, window=c.window_size,
                              vector_size=c.vector_size)
 
+    # -- split-word (15 < k <= 31) plumbing: keys travel as a tuple of
+    #    uint32 words; the single-word k <= 15 path is the 1-tuple so the
+    #    sharded overrides of _sortjoin_pad/_sortjoin_bins stay intact.
+
+    def _batch_keys(self, codes, lengths, cont) -> Tuple[jnp.ndarray, ...]:
+        c = self.cfg
+        if c.kmer <= 15:
+            return (batch_kmer_keys(codes, lengths, cont, k=c.kmer,
+                                    overlap=c.kmer - 1),)
+        from pangaea_tpu.kernels.features import batch_kmer_keys_pair
+        return batch_kmer_keys_pair(codes, lengths, cont, k=c.kmer,
+                                    overlap=c.kmer - 1)
+
+    def _sortjoin_pad_tuple(self, n: int) -> Tuple[jnp.ndarray, ...]:
+        c = self.cfg
+        if c.kmer <= 15:
+            return (self._sortjoin_pad(n),)
+        from pangaea_tpu.kernels.features import kmer_key_sentinel_pair
+        shi, slo = kmer_key_sentinel_pair(c.kmer)
+        return (jnp.full(n, shi, jnp.uint32), jnp.full(n, slo, jnp.uint32))
+
+    def _sortjoin_bins_dispatch(self, keys: Tuple[jnp.ndarray, ...],
+                                row_windows: Optional[int] = None
+                                ) -> jnp.ndarray:
+        c = self.cfg
+        rg = (row_windows is not None and c.vector_size <= 511
+              and keys[0].shape[0] // row_windows < (1 << 22))
+        if len(keys) == 1:
+            return self._sortjoin_bins_single(keys[0],
+                                              row_windows if rg else None)
+        from pangaea_tpu.kernels.features import (
+            sortjoin_bins_pair, sortjoin_bins_pair_rowgrouped)
+        if rg:
+            return sortjoin_bins_pair_rowgrouped(
+                *keys, k=c.kmer, window=c.window_size,
+                vector_size=c.vector_size, row_windows=row_windows)
+        return sortjoin_bins_pair(*keys, k=c.kmer, window=c.window_size,
+                                  vector_size=c.vector_size)
+
+    def _sortjoin_bins_single(self, keys: jnp.ndarray,
+                              row_windows: Optional[int]) -> jnp.ndarray:
+        """Single-word bins: the row-grouped restore (one packed uint32
+        sort instead of the exact two-operand index sort — the consumer
+        reduces per row, so within-row order is free) when geometry
+        allows; ShardedFeatureExtractor overrides this back to its
+        routed exact-order path."""
+        c = self.cfg
+        if row_windows is not None:
+            from pangaea_tpu.kernels.features import sortjoin_bins_rowgrouped
+            return sortjoin_bins_rowgrouped(
+                keys, k=c.kmer, window=c.window_size,
+                vector_size=c.vector_size, row_windows=row_windows)
+        return self._sortjoin_bins(keys)
+
     def _device_batch(self, b):
         """Host batch -> device arrays; ShardedFeatureExtractor overrides
         this with mesh placements."""
@@ -437,6 +497,25 @@ class FeatureExtractor:
 
     def _extract_inner(self, reads1: str, reads2: str, interleaved: str
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        c = self.cfg
+        if c.kmer > 15:
+            # the reference reaches k <= 31 through jellyfish -m + its
+            # uint64 encode (count_kmer.cpp:79-86); here large k exists
+            # only as the split-word sort-join (no dense 4^k table, no
+            # quality-masked paired global pass)
+            if not self.sortjoin_eligible(reads1, reads2, interleaved):
+                raise ValueError(
+                    f"k={c.kmer} > 15 requires the sort-join path: pass "
+                    "interleaved input and hist_impl='auto'/'sortjoin' "
+                    "(the paired-reads quality-masked global pass and "
+                    "the dense table only exist for k <= 15)")
+            try:
+                return self.group_features_sortjoin(interleaved)
+            except SortJoinOverflow as e:
+                raise RuntimeError(
+                    f"k={c.kmer} > 15 has no table fallback; raise "
+                    "FeatureConfig.sortjoin_max_windows (HBM permitting) "
+                    "or shard over more devices") from e
         if self.sortjoin_eligible(reads1, reads2, interleaved):
             try:
                 return self.group_features_sortjoin(interleaved)

@@ -72,6 +72,40 @@ def canonical_kmers(vals: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.minimum(vals, revcomp_kmers(vals, k))
 
 
+# ---------------------------------------------------------------------------
+# Split-word k-mers for 15 < k <= 31 (the reference's uint64 range,
+# count_kmer.cpp:79-86). TPUs have no 64-bit integer datapath worth using,
+# so a k-mer is carried as an uint32 pair: ``hi`` = the first k-16 bases
+# (2(k-16) <= 30 bits), ``lo`` = the last 16 bases (32 bits). Pairs order
+# lexicographically exactly like the 64-bit value, so lax.sort with
+# num_keys=2 reproduces the sort-join semantics.
+# ---------------------------------------------------------------------------
+
+
+def revcomp_kmers_pair(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
+    """Reverse complement of split (hi, lo) k-mer values, 15 < k <= 31.
+
+    rc(A·B) = rc(B)·rc(A) for base strings A (k-16 bases) and B (16
+    bases): the 2k-bit rc value is ``rc(B) << 2(k-16) | rc(A)`` with
+    disjoint bit ranges, re-split into the same (hi, lo) layout.
+    """
+    assert 15 < k <= 31, k
+    kh = k - 16
+    rc_b = revcomp_kmers(lo.astype(jnp.uint32), 16)   # 32 bits
+    rc_a = revcomp_kmers(hi.astype(jnp.uint32), kh)   # 2*kh bits
+    new_hi = rc_b >> (32 - 2 * kh)
+    new_lo = (rc_b << (2 * kh)) | rc_a
+    return new_hi, new_lo
+
+
+def canonical_kmers_pair(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
+    """Lexicographic min((hi,lo), revcomp(hi,lo)) — the split-word twin of
+    :func:`canonical_kmers` (count_kmer.cpp:86 in the uint64 range)."""
+    rhi, rlo = revcomp_kmers_pair(hi, lo, k)
+    fwd_le = (hi < rhi) | ((hi == rhi) & (lo <= rlo))
+    return (jnp.where(fwd_le, hi, rhi), jnp.where(fwd_le, lo, rlo))
+
+
 def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
                        win_skip: jnp.ndarray | None = None):
     """All k-mer window values of a read batch, with validity mask.
@@ -99,14 +133,27 @@ def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     assert W >= 1, f"max_read_len {L} < k {k}"
     # 2k bits must fit int32 (the reference's uint64 path allows k<=32;
     # k=15 is its default and the practical sweet spot for the dense
-    # table — 4^15 int32 = 4 GiB HBM)
-    assert k <= 15, f"k={k} unsupported: values must fit int32 (k <= 15)"
+    # table — 4^15 int32 = 4 GiB HBM). 15 < k <= 31 is served by the
+    # split-word kmer_window_values_pair + the sort-join feature path.
+    assert k <= 15, (f"k={k} unsupported here: values must fit int32 "
+                     f"(k <= 15); use kmer_window_values_pair for k <= 31")
     c = codes.astype(jnp.int32)
     safe = jnp.where(c < 4, c, 0)
-    # binary-doubling assembly: build span-2^m packed values (a_m[i] packs
-    # bases i..i+2^m-1), then OR together k's binary decomposition —
-    # ceil(log2 k) + popcount(k) shifted ORs instead of k (k=15: 7 vs 15
-    # passes over the (R, W) hot array).
+    acc = _assemble_windows(safe, k, W, jnp.int32)
+    valid = _window_validity(c, lengths, k, W, win_skip)
+    return acc, valid
+
+
+def _assemble_windows(safe: jnp.ndarray, k: int, W: int, dtype,
+                      start: int = 0) -> jnp.ndarray:
+    """Packed k-base window values starting at column ``start``.
+
+    Binary-doubling assembly: build span-2^m packed values (a_m[i] packs
+    bases i..i+2^m-1), then OR together k's binary decomposition —
+    ceil(log2 k) + popcount(k) shifted ORs instead of k (k=15: 7 vs 15
+    passes over the (R, W) hot array).
+    """
+    safe = safe.astype(dtype)
     spans = {1: safe}
     m = 1
     while m * 2 <= k:
@@ -114,18 +161,23 @@ def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
         spans[m * 2] = (prev[:, :prev.shape[1] - m] << (2 * m)) \
             | prev[:, m:]
         m *= 2
-    acc = jnp.zeros((R, W), dtype=jnp.int32)
-    off, rem = 0, k
+    acc = jnp.zeros((safe.shape[0], W), dtype=dtype)
+    off, rem = start, k
     while rem:
         span = 1 << (rem.bit_length() - 1)
         part = jax_slice(spans[span], off, W)
         acc = acc | (part << (2 * (rem - span)))
         off += span
         rem -= span
+    return acc
+
+
+def _window_validity(c: jnp.ndarray, lengths: jnp.ndarray, k: int, W: int,
+                     win_skip: jnp.ndarray | None) -> jnp.ndarray:
     invalid = (c >= 4).astype(jnp.int32)
     csum = jnp.cumsum(invalid, axis=1)
     # bad(i) = number of invalid codes in [i, i+k)
-    upper = csum[:, k - 1:]
+    upper = csum[:, k - 1:k - 1 + W]
     lower = jnp.pad(csum, ((0, 0), (1, 0)))[:, :W]
     bad = upper - lower
     starts = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -133,7 +185,28 @@ def kmer_window_values(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     valid = (bad == 0) & in_read
     if win_skip is not None:
         valid = valid & (starts >= win_skip[:, None].astype(jnp.int32))
-    return acc, valid
+    return valid
+
+
+def kmer_window_values_pair(codes: jnp.ndarray, lengths: jnp.ndarray,
+                            k: int, win_skip: jnp.ndarray | None = None):
+    """Split-word twin of :func:`kmer_window_values` for 15 < k <= 31.
+
+    Returns ``(hi, lo, valid)``: hi packs the window's first k-16 bases
+    (uint32, 2(k-16) <= 30 bits), lo the last 16 bases (full uint32).
+    (hi, lo) compares lexicographically like the reference's uint64 value
+    (count_kmer.cpp:79-86).
+    """
+    R, L = codes.shape
+    W = L - k + 1
+    assert W >= 1, f"max_read_len {L} < k {k}"
+    assert 15 < k <= 31, k
+    c = codes.astype(jnp.int32)
+    safe = jnp.where(c < 4, c, 0)
+    hi = _assemble_windows(safe, k - 16, W, jnp.uint32)
+    lo = _assemble_windows(safe, 16, W, jnp.uint32, start=k - 16)
+    valid = _window_validity(c, lengths, k, W, win_skip)
+    return hi, lo, valid
 
 
 def jax_slice(x: jnp.ndarray, start: int, width: int) -> jnp.ndarray:

@@ -44,6 +44,8 @@ def make_global_table(k: int) -> jax.Array:
     k-mer value i (only canonical values are ever written; the rest stay 0,
     which also encodes 'absent' — jellyfish dumps only counts >= 1, and
     count_kmer.cpp:87 skips k-mers missing from the dump)."""
+    assert k <= 15, (f"k={k}: the dense 4^k table only exists for k <= 15;"
+                     " large k runs via the split-word sort-join")
     return jnp.zeros(4 ** k, dtype=jnp.int32)
 
 
@@ -356,6 +358,141 @@ def _sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, k: int,
     binv = jnp.where(ok, bins, -1)
     _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
     return bins_orig
+
+
+# ---- row-grouped restore (the fast single-device path) ------------------
+#
+# sortjoin_bins restores exact stream order with a second (index, bin)
+# two-operand sort. But the consumer (abundance_histogram_from_bins)
+# reduces bins per ROW with an order-insensitive compare-expand — only
+# WHICH row a bin belongs to matters, never its position within the row.
+# So the restore sort can carry the row id instead of the window index
+# and pack (rowidx << 9 | bin+1) into ONE uint32 (bins < 512; the k=15
+# headline shape: 36M windows / 146 per row = 258k rows, 18 bits), making
+# the second sort single-operand — measured 338 -> ~210 ms for the whole
+# sort phase on v5e. Requires total_rows < 2^22 (callers fall back to the
+# exact variant otherwise) and vector_size <= 511.
+
+
+def _rowgrouped_restore(srow: jax.Array, binv: jax.Array) -> jax.Array:
+    packed = (srow.astype(jnp.uint32) << 9) \
+        | (binv + 1).astype(jnp.uint32)
+    spacked = jax.lax.sort(packed)
+    return (spacked & jnp.uint32(511)).astype(jnp.int32) - 1
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
+                                             "row_windows"))
+def sortjoin_bins_rowgrouped(keys: jax.Array, *, k: int, window: int,
+                             vector_size: int, row_windows: int
+                             ) -> jax.Array:
+    """Per-window abundance bins grouped by original ROW (row blocks in
+    stream order, arbitrary order within each row) — the contract
+    :func:`abundance_histogram_from_bins` actually needs. keys as in
+    :func:`sortjoin_bins`; ``row_windows`` = windows per packed row, so
+    element i belongs to row i // row_windows."""
+    assert vector_size <= 511
+    n = keys.shape[0]
+    # real windows fill whole rows (per_batch = rows*row_windows);
+    # sentinel padding may end in a partial tail pseudo-row, which
+    # sorts last and is never consumed
+    assert n // row_windows < (1 << 22)
+    rowidx = jnp.arange(n, dtype=jnp.int32) // jnp.int32(row_windows)
+    sk, srow = jax.lax.sort((keys, rowidx), num_keys=1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
+    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    count = run_end - run_start + 1
+    bins = count // jnp.int32(window)
+    ok = (sk < kmer_key_sentinel(k)) & (bins < vector_size)
+    return _rowgrouped_restore(srow, jnp.where(ok, bins, -1))
+
+
+# ---- split-word (15 < k <= 31) sort-join --------------------------------
+#
+# The reference encodes k-mers in uint64 (count_kmer.cpp:79-86), allowing
+# any k <= 31 via jellyfish -m. TPUs have no useful 64-bit integer
+# datapath, and the dense table is out of the question (4^k entries), so
+# large k is served EXCLUSIVELY by the sort-join path with the k-mer
+# carried as an uint32 (hi, lo) pair (encode.kmer_window_values_pair) and
+# lax.sort(num_keys=2) ordering pairs exactly like the 64-bit value.
+
+
+def kmer_key_sentinel_pair(k: int) -> tuple[int, int]:
+    """(hi, lo) sort key for invalid windows: hi = 4^(k-16) sorts after
+    every real window's hi (which is < 4^(k-16))."""
+    return 4 ** (k - 16), 0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overlap"))
+def batch_kmer_keys_pair(codes: jax.Array, lengths: jax.Array,
+                         cont: jax.Array, *, k: int, overlap: int):
+    """(R*W,) uint32 (hi, lo) canonical k-mer per window; invalid ->
+    sentinel pair. Split-word twin of :func:`batch_kmer_keys`."""
+    from pangaea_tpu.kernels.encode import (canonical_kmers_pair,
+                                            kmer_window_values_pair)
+    skip = cont.astype(jnp.int32) * max(0, overlap - (k - 1))
+    hi, lo, valid = kmer_window_values_pair(codes, lengths, k,
+                                            win_skip=skip)
+    chi, clo = canonical_kmers_pair(hi, lo, k)
+    shi, slo = kmer_key_sentinel_pair(k)
+    return (jnp.where(valid, chi, jnp.uint32(shi)).ravel(),
+            jnp.where(valid, clo, jnp.uint32(slo)).ravel())
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
+def sortjoin_bins_pair(hi: jax.Array, lo: jax.Array, *, k: int,
+                       window: int, vector_size: int) -> jax.Array:
+    """Split-word twin of :func:`sortjoin_bins`: same run-length global
+    counts and boundary fills, with run boundaries defined on the
+    (hi, lo) pair and the pair sorted as two lexicographic keys."""
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    shi, slo, si = jax.lax.sort((hi, lo, idx), num_keys=2)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones(1, bool),
+                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
+    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    count = run_end - run_start + 1
+    bins = count // jnp.int32(window)
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    ok = (shi < jnp.uint32(sent_hi)) & (bins < vector_size)
+    binv = jnp.where(ok, bins, -1)
+    _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
+    return bins_orig
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
+                                             "row_windows"))
+def sortjoin_bins_pair_rowgrouped(hi: jax.Array, lo: jax.Array, *, k: int,
+                                  window: int, vector_size: int,
+                                  row_windows: int) -> jax.Array:
+    """Row-grouped twin of :func:`sortjoin_bins_pair` (see
+    :func:`sortjoin_bins_rowgrouped` for the packed single-operand
+    restore)."""
+    assert vector_size <= 511
+    n = hi.shape[0]
+    # real windows fill whole rows (per_batch = rows*row_windows);
+    # sentinel padding may end in a partial tail pseudo-row, which
+    # sorts last and is never consumed
+    assert n // row_windows < (1 << 22)
+    rowidx = jnp.arange(n, dtype=jnp.int32) // jnp.int32(row_windows)
+    shi, slo, srow = jax.lax.sort((hi, lo, rowidx), num_keys=2)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones(1, bool),
+                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
+    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    count = run_end - run_start + 1
+    bins = count // jnp.int32(window)
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    ok = (shi < jnp.uint32(sent_hi)) & (bins < vector_size)
+    return _rowgrouped_restore(srow, jnp.where(ok, bins, -1))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))

@@ -254,6 +254,12 @@ class ShardedFeatureExtractor(FeatureExtractor):
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
+        if cfg.kmer > 15:
+            raise NotImplementedError(
+                f"k={cfg.kmer} > 15 is single-device only for now (the "
+                "routed distributed sort-join hashes single-word keys); "
+                "use FeatureExtractor, whose split-word sort-join covers "
+                "k <= 31")
         self.mesh = mesh
         n = mesh.devices.size
         # rows per batch must divide evenly across shards
@@ -284,6 +290,13 @@ class ShardedFeatureExtractor(FeatureExtractor):
 
     def _sortjoin_pad(self, n: int) -> jnp.ndarray:
         return jax.device_put(super()._sortjoin_pad(n), self._row_sharding)
+
+    def _sortjoin_bins_single(self, keys: jnp.ndarray, row_windows
+                              ) -> jnp.ndarray:
+        # the routed distributed kernel already restores exact order
+        # internally; the base class's row-grouped restore shortcut does
+        # not compose with its all_to_all flow
+        return self._sortjoin_bins(keys)
 
     def _sortjoin_bins(self, keys: jnp.ndarray) -> jnp.ndarray:
         """Distributed sort-join: keys (already row-sharded, since every

@@ -201,3 +201,40 @@ def test_parse_header_parity(data):
     out = str(d / "x.renamed.fa")
     rename_contigs(fa, out)
     assert open(out).read() == ref
+
+
+def test_count_kmer_parity_k21(data):
+    """k=21 (> int32 range) byte-parity: the split-word sort-join path vs
+    the reference's uint64 count_kmer (count_kmer.cpp:79-86) fed a dump
+    built from a brute-force string-level global counter."""
+    from collections import Counter
+
+    from pangaea_tpu.io.grouping import iter_read_pairs_interleaved
+
+    d, inter, _, _, _ = data
+    k = 21
+    comp = str.maketrans("ACGT", "TGCA")
+    table = Counter()
+    for p in iter_read_pairs_interleaved(inter):
+        for s in (p.seq1, p.seq2):
+            for i in range(len(s) - k + 1):
+                w = s[i:i + k]
+                if all(ch in "ACGT" for ch in w):
+                    table[min(w, w.translate(comp)[::-1])] += 1
+    dump = str(d / "k21.dump")
+    with open(dump, "w") as f:
+        for w, c in table.items():
+            f.write(f"{w}\t{c}\n")
+
+    cfg = FeatureConfig(kmer=k, reads_per_batch=4096)
+    fe = FeatureExtractor(cfg, str(d / "ours_k21"))
+    names, abd, _ = fe.extract_features(interleaved=inter)
+
+    out = str(d / "ref_kmer_k21.gz")
+    subprocess.run([os.path.join(BIN, "count_kmer"), "-i", inter,
+                    "-g", dump, "-k", str(k), "-l", "2000", "-w", "10",
+                    "-v", "400", "-t", "4", "-o", out],
+                   check=True, capture_output=True)
+    ref_names, ref_rows = parse_csv_gz(out)
+    assert list(names) == ref_names
+    np.testing.assert_array_equal(abd.astype(np.float64), ref_rows)

@@ -261,3 +261,187 @@ def test_auto_row_len_retry(tmp_path, monkeypatch):
     out_p = fe2.extract_features(interleaved=fq)
     np.testing.assert_array_equal(out_r[1], out_p[1])
     np.testing.assert_array_equal(out_r[2], out_p[2])
+
+
+# ---- row-grouped restore + split-word (k > 15) path ----------------------
+
+
+def test_rowgrouped_bins_match_exact():
+    """sortjoin_bins_rowgrouped == sortjoin_bins up to within-row order,
+    including a non-row-multiple sentinel padding tail."""
+    from pangaea_tpu.kernels.features import sortjoin_bins_rowgrouped
+    k, window, vec, wrow = 6, 3, 7, 9
+    rng = np.random.default_rng(3)
+    real = 40 * wrow
+    n = real + 13  # padding tail not a multiple of wrow
+    keys = rng.integers(0, 4 ** k, n).astype(np.int32)
+    keys[rng.random(n) < 0.2] = kmer_key_sentinel(k)
+    keys[real:] = kmer_key_sentinel(k)
+    exact = np.asarray(sortjoin_bins(jnp.asarray(keys), k=k, window=window,
+                                     vector_size=vec))
+    rg = np.asarray(sortjoin_bins_rowgrouped(
+        jnp.asarray(keys), k=k, window=window, vector_size=vec,
+        row_windows=wrow))
+    for r in range(real // wrow):
+        np.testing.assert_array_equal(
+            np.sort(exact[r * wrow:(r + 1) * wrow]),
+            np.sort(rg[r * wrow:(r + 1) * wrow]), err_msg=f"row {r}")
+    assert (rg[real:] == -1).all()
+
+
+def _np_windows64(codes, lengths, k):
+    """uint64 oracle: forward window values + validity (numpy)."""
+    R, L = codes.shape
+    W = L - k + 1
+    c = codes.astype(np.uint64)
+    safe = np.where(c < 4, c, 0)
+    acc = np.zeros((R, W), np.uint64)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | safe[:, j:j + W]
+    bad = (c >= 4).astype(np.int32)
+    cs = np.cumsum(bad, axis=1)
+    nbad = cs[:, k - 1:] - np.pad(cs, ((0, 0), (1, 0)))[:, :W]
+    starts = np.arange(W)[None, :]
+    valid = (nbad == 0) & (starts + k <= lengths[:, None])
+    return acc, valid
+
+
+def _np_revcomp64(vals, k):
+    """Reference uint64 revcomp bit-twiddle (count_kmer.cpp:11-21)."""
+    x = np.asarray(vals, np.uint64)
+    m = np.uint64
+    x = ((x >> m(2)) & m(0x3333333333333333)) \
+        | ((x & m(0x3333333333333333)) << m(2))
+    x = ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F)) \
+        | ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4))
+    x = ((x >> m(8)) & m(0x00FF00FF00FF00FF)) \
+        | ((x & m(0x00FF00FF00FF00FF)) << m(8))
+    x = ((x >> m(16)) & m(0x0000FFFF0000FFFF)) \
+        | ((x & m(0x0000FFFF0000FFFF)) << m(16))
+    x = (x >> m(32)) | (x << m(32))
+    x = x ^ m(0xAAAAAAAAAAAAAAAA)
+    return x >> m(2 * (32 - k))
+
+
+@pytest.mark.parametrize("k", [17, 21, 31])
+def test_pair_encode_matches_uint64_oracle(k):
+    from pangaea_tpu.kernels.encode import (canonical_kmers_pair,
+                                            kmer_window_values_pair)
+    rng = np.random.default_rng(k)
+    R, L = 16, 48
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    codes[rng.random((R, L)) < 0.05] = 4  # Ns
+    lengths = rng.integers(k, L + 1, R).astype(np.int32)
+    hi, lo, valid = kmer_window_values_pair(
+        jnp.asarray(codes), jnp.asarray(lengths), k)
+    chi, clo = canonical_kmers_pair(hi, lo, k)
+    got = (np.asarray(chi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(clo).astype(np.uint64)
+    vals, valid_np = _np_windows64(codes, lengths, k)
+    canon = np.minimum(vals, _np_revcomp64(vals, k))
+    np.testing.assert_array_equal(np.asarray(valid), valid_np)
+    np.testing.assert_array_equal(got[valid_np], canon[valid_np])
+    fwd = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(lo).astype(np.uint64)
+    np.testing.assert_array_equal(fwd[valid_np], vals[valid_np])
+
+
+@pytest.mark.parametrize("rowgrouped", [False, True])
+def test_sortjoin_bins_pair_reference(rowgrouped):
+    """Split-word bins == dict-count oracle over the 64-bit keys."""
+    from pangaea_tpu.kernels.features import (kmer_key_sentinel_pair,
+                                              sortjoin_bins_pair,
+                                              sortjoin_bins_pair_rowgrouped)
+    k, window, vec, wrow = 21, 3, 7, 10
+    rng = np.random.default_rng(9)
+    n = 1000
+    # a small key universe forces multi-element runs
+    hi = rng.integers(0, 8, n).astype(np.uint32)
+    lo = rng.integers(0, 16, n).astype(np.uint32)
+    shi, slo = kmer_key_sentinel_pair(k)
+    inv = rng.random(n) < 0.2
+    hi[inv], lo[inv] = shi, slo
+    key64 = (hi.astype(np.uint64) << np.uint64(32)) | lo
+    sent64 = (np.uint64(shi) << np.uint64(32)) | np.uint64(slo)
+    from collections import Counter
+    table = Counter(key64[~inv].tolist())
+
+    def want_bin(i):
+        if key64[i] == sent64:
+            return -1
+        b = table[int(key64[i])] // window
+        return b if b < vec else -1
+
+    if rowgrouped:
+        bins = np.asarray(sortjoin_bins_pair_rowgrouped(
+            jnp.asarray(hi), jnp.asarray(lo), k=k, window=window,
+            vector_size=vec, row_windows=wrow))
+        want = np.array([want_bin(i) for i in range(n)])
+        for r in range(n // wrow):
+            sl = slice(r * wrow, (r + 1) * wrow)
+            np.testing.assert_array_equal(np.sort(bins[sl]),
+                                          np.sort(want[sl]))
+    else:
+        bins = np.asarray(sortjoin_bins_pair(
+            jnp.asarray(hi), jnp.asarray(lo), k=k, window=window,
+            vector_size=vec))
+        for i in range(n):
+            assert bins[i] == want_bin(i), i
+
+
+def test_feature_extractor_k21_matches_string_oracle(tmp_path):
+    """End-to-end k=21 features (split-word sort-join — the ONLY large-k
+    path) == a brute-force string-level oracle of the reference contract:
+    global canonical-21-mer counts over all reads, per-barcode histogram
+    of count//window over kept groups."""
+    from collections import Counter
+
+    from pangaea_tpu.io.sim import simulate_linked_reads
+
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=10,
+        pairs_per_barcode=6, read_len=50, seed=11)
+    from pangaea_tpu.io.grouping import iter_read_pairs_interleaved
+    k, window, vec, min_len = 21, 2, 50, 250
+    cfg = FeatureConfig(kmer=k, tnf_kmer=4, min_length=min_len,
+                        max_read_len=64, reads_per_batch=32,
+                        min_qual_char=None, vector_size=vec,
+                        window_size=window)
+    fe = FeatureExtractor(cfg, str(tmp_path / "k21"))
+    names, abd, tnf = fe.extract_features(interleaved=fq)
+
+    # ---- oracle ----
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def canon(w):
+        rc = w.translate(comp)[::-1]
+        return min(w, rc)
+
+    def windows(s):
+        for i in range(len(s) - k + 1):
+            w = s[i:i + k]
+            if all(ch in "ACGT" for ch in w):
+                yield canon(w)
+
+    pairs = list(iter_read_pairs_interleaved(fq))
+    table = Counter()
+    for p in pairs:
+        table.update(windows(p.seq1))
+        table.update(windows(p.seq2))
+    groups = list(iter_barcode_groups(iter(pairs), bug_compat=True))
+    want_names, want_rows = [], []
+    for barcode, gpairs in groups:
+        seqs = [s for p in gpairs for s in (p.seq1, p.seq2)]
+        if not barcode or sum(len(s) for s in seqs) <= min_len:
+            continue
+        row = np.zeros(vec, np.int64)
+        for s in seqs:
+            for w in windows(s):
+                b = table[w] // window
+                if b < vec:
+                    row[b] += 1
+        want_names.append(barcode)
+        want_rows.append(row)
+    assert list(names) == want_names
+    np.testing.assert_array_equal(abd, np.array(want_rows))
