@@ -437,9 +437,16 @@ class FeatureExtractor:
         if len(keys) == 1:
             return self._sortjoin_bins_single(keys[0],
                                               row_windows if rg else None)
+        return self._sortjoin_bins_pair(keys, row_windows if rg else None)
+
+    def _sortjoin_bins_pair(self, keys: Tuple[jnp.ndarray, ...],
+                            row_windows: Optional[int]) -> jnp.ndarray:
+        """Split-word bins; ShardedFeatureExtractor overrides with the
+        routed distributed pair kernel."""
+        c = self.cfg
         from pangaea_tpu.kernels.features import (
             sortjoin_bins_pair, sortjoin_bins_pair_rowgrouped)
-        if rg:
+        if row_windows is not None:
             return sortjoin_bins_pair_rowgrouped(
                 *keys, k=c.kmer, window=c.window_size,
                 vector_size=c.vector_size, row_windows=row_windows)

@@ -466,6 +466,32 @@ def sortjoin_bins_pair(hi: jax.Array, lo: jax.Array, *, k: int,
     return bins_orig
 
 
+def _sortjoin_bins_weighted_pair(hi: jax.Array, lo: jax.Array,
+                                 weights: jax.Array, k: int, window: int,
+                                 vector_size: int) -> jax.Array:
+    """Split-word twin of :func:`_sortjoin_bins_weighted` (the distributed
+    path's owner-side core): per-element global count = weight sum of the
+    element's (hi, lo) run."""
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    shi, slo, sw, si = jax.lax.sort((hi, lo, weights, idx), num_keys=2)
+    start = jnp.concatenate([jnp.ones(1, bool),
+                             (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    cw = jnp.cumsum(sw)
+    excl = cw - sw
+    run_before = jax.lax.cummax(jnp.where(start, excl, 0))
+    run_total = jax.lax.cummin(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+    count = run_total - run_before
+    bins = count // jnp.int32(window)
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    ok = (shi < jnp.uint32(sent_hi)) & (count > 0) & (bins < vector_size)
+    binv = jnp.where(ok, bins, -1)
+    _, bins_orig = jax.lax.sort((si, binv), num_keys=1)
+    return bins_orig
+
+
 @functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
                                              "row_windows"))
 def sortjoin_bins_pair_rowgrouped(hi: jax.Array, lo: jax.Array, *, k: int,

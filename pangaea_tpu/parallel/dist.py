@@ -249,17 +249,96 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     return bins_fn, row
 
 
+def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
+                               vector_size: int,
+                               capacity_factor: float = 2.0):
+    """Split-word (15 < k <= 31) twin of :func:`make_sharded_sortjoin`:
+    keys travel as uint32 (hi, lo) pairs (encode.kmer_window_values_pair),
+    runs and routing hashes are defined on the pair, and the owner-side
+    core is the weighted pair sort. Same RLE routing, overflow contract,
+    and original-order bins.
+
+    ``bins_fn(hi, lo)`` -> (bins, overflow), all P('data') row-sharded.
+    """
+    from jax import shard_map
+
+    from pangaea_tpu.kernels.features import (_sortjoin_bins_weighted_pair,
+                                              kmer_key_sentinel_pair)
+
+    n_dev = mesh.devices.size
+    sent_hi, sent_lo = kmer_key_sentinel_pair(k)
+    sent_hi = jnp.uint32(sent_hi)
+    sent_lo = jnp.uint32(sent_lo)
+    row = NamedSharding(mesh, P("data"))
+
+    def body(hi, lo):
+        n_local = hi.shape[0]
+        cap = max(1, int(capacity_factor * n_local / n_dev))
+        pos0 = jnp.arange(n_local, dtype=jnp.int32)
+        shi, slo, spos = jax.lax.sort((hi, lo, pos0), num_keys=2)
+        start = jnp.concatenate(
+            [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+        end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+        run_end = jax.lax.cummin(jnp.where(end, pos0, n_local),
+                                 reverse=True)
+        run_len = run_end - pos0 + 1  # valid at run starts
+        route = start & (shi < sent_hi)
+        h = (shi * jnp.uint32(2654435761)) ^ (slo * jnp.uint32(40503)) \
+            ^ (slo >> 16)
+        dest = jnp.where(route, (h % jnp.uint32(n_dev)).astype(jnp.int32),
+                         jnp.int32(n_dev))
+        sdest, rhi, rlo, rcnt, rpos = jax.lax.sort(
+            (dest, shi, slo, run_len, pos0), num_keys=1)
+        bounds = jnp.arange(n_dev, dtype=jnp.int32)
+        starts = jnp.searchsorted(sdest, bounds).astype(jnp.int32)
+        ends = jnp.searchsorted(sdest, bounds, side="right").astype(jnp.int32)
+        counts = ends - starts
+        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+        hpad = jnp.concatenate([rhi, jnp.full(cap, sent_hi, jnp.uint32)])
+        lpad = jnp.concatenate([rlo, jnp.full(cap, sent_lo, jnp.uint32)])
+        cpad = jnp.concatenate([rcnt, jnp.zeros(cap, jnp.int32)])
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        bh, bl, bc = [], [], []
+        for d in range(n_dev):
+            take = lane < counts[d]
+            bh.append(jnp.where(
+                take, jax.lax.dynamic_slice(hpad, (starts[d],), (cap,)),
+                sent_hi))
+            bl.append(jnp.where(
+                take, jax.lax.dynamic_slice(lpad, (starts[d],), (cap,)),
+                sent_lo))
+            bc.append(jnp.where(
+                take, jax.lax.dynamic_slice(cpad, (starts[d],), (cap,)), 0))
+        a2a = functools.partial(jax.lax.all_to_all, axis_name="data",
+                                split_axis=0, concat_axis=0, tiled=True)
+        recv_h, recv_l, recv_c = (a2a(jnp.stack(x))
+                                  for x in (bh, bl, bc))
+        rbins = _sortjoin_bins_weighted_pair(
+            recv_h.ravel(), recv_l.ravel(), recv_c.ravel(), k, window,
+            vector_size)
+        back = a2a(rbins.reshape(n_dev, cap))
+        out = jnp.full(n_local + cap, -1, jnp.int32)
+        for d in range(n_dev):
+            piece = jnp.where(lane < counts[d], back[d], -1)
+            out = jax.lax.dynamic_update_slice(out, piece, (starts[d],))
+        _, kb = jax.lax.sort((rpos, out[:n_local]), num_keys=1)
+        _, filled = jax.lax.associative_scan(
+            lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
+            (start, kb))
+        _, bins = jax.lax.sort((spos, filled), num_keys=1)
+        return bins, overflow[None]
+
+    bins_fn = jax.jit(shard_map(body, mesh=mesh,
+                                in_specs=(P("data"), P("data")),
+                                out_specs=(P("data"), P("data"))))
+    return bins_fn, row
+
+
 class ShardedFeatureExtractor(FeatureExtractor):
     """FeatureExtractor whose device batches shard rows over the mesh."""
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
-        if cfg.kmer > 15:
-            raise NotImplementedError(
-                f"k={cfg.kmer} > 15 is single-device only for now (the "
-                "routed distributed sort-join hashes single-word keys); "
-                "use FeatureExtractor, whose split-word sort-join covers "
-                "k <= 31")
         self.mesh = mesh
         n = mesh.devices.size
         # rows per batch must divide evenly across shards
@@ -309,6 +388,27 @@ class ShardedFeatureExtractor(FeatureExtractor):
                 self.mesh, c.kmer, c.window_size, c.vector_size)[0]
         keys = jax.device_put(keys, self._row_sharding)
         bins, overflow = self._sortjoin_fn(keys)
+        ov = int(np.asarray(overflow).sum())
+        if ov:
+            raise RuntimeError(
+                f"sort-join routing bucket overflow ({ov} keys): raise "
+                "capacity_factor (pathologically skewed key hash)")
+        return bins
+
+    def _sortjoin_pad_tuple(self, n: int):
+        return tuple(jax.device_put(w, self._row_sharding)
+                     for w in super()._sortjoin_pad_tuple(n))
+
+    def _sortjoin_bins_pair(self, keys, row_windows) -> jnp.ndarray:
+        """Distributed split-word sort-join (15 < k <= 31): same routed
+        kernel with (hi, lo) uint32 words and the pair-weighted owner
+        core (make_sharded_sortjoin_pair); same overflow contract."""
+        c = self.cfg
+        if self._sortjoin_fn is None:
+            self._sortjoin_fn = make_sharded_sortjoin_pair(
+                self.mesh, c.kmer, c.window_size, c.vector_size)[0]
+        hi, lo = (jax.device_put(w, self._row_sharding) for w in keys)
+        bins, overflow = self._sortjoin_fn(hi, lo)
         ov = int(np.asarray(overflow).sum())
         if ov:
             raise RuntimeError(

@@ -231,3 +231,52 @@ def test_sharded_sortjoin_overflow_detected(mesh):
                                          capacity_factor=1.0)
     got, overflow = bins_fn(jax.device_put(jnp.asarray(keys), row))
     assert int(np.asarray(overflow).sum()) > 0
+
+
+def test_sharded_sortjoin_pair_matches_single(mesh):
+    """Distributed split-word sort-join (k > 15) == single-device
+    sortjoin_bins_pair, duplicates crossing shards."""
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.kernels.features import (kmer_key_sentinel_pair,
+                                              sortjoin_bins_pair)
+    from pangaea_tpu.parallel import make_sharded_sortjoin_pair
+
+    k, window, vec = 21, 3, 9
+    rng = np.random.RandomState(1)
+    n = 8 * 4096
+    hi = rng.randint(0, 40, n).astype(np.uint32)
+    lo = rng.randint(0, 50, n).astype(np.uint32)
+    shi, slo = kmer_key_sentinel_pair(k)
+    inv = rng.rand(n) < 0.15
+    hi[inv], lo[inv] = shi, slo
+    bins_fn, row = make_sharded_sortjoin_pair(mesh, k, window, vec)
+    got, overflow = bins_fn(jax.device_put(jnp.asarray(hi), row),
+                            jax.device_put(jnp.asarray(lo), row))
+    assert int(np.asarray(overflow).sum()) == 0
+    want = sortjoin_bins_pair(jnp.asarray(hi), jnp.asarray(lo), k=k,
+                              window=window, vector_size=vec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_feature_extractor_k21_matches_single(mesh, tmp_path):
+    """End-to-end sharded extractor at k=21 (split-word routed sort-join)
+    == single-device split-word path."""
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor
+    reads = str(tmp_path / "r.fq.gz")
+    simulate_linked_reads(out_interleaved=reads, n_species=2,
+                          genome_len=8_000, n_barcodes=40,
+                          pairs_per_barcode=12, seed=23)
+    single = FeatureExtractor(FeatureConfig(kmer=21, reads_per_batch=512),
+                              str(tmp_path / "s"))
+    n1, a1, t1 = single.extract_features(interleaved=reads)
+    sharded = ShardedFeatureExtractor(
+        FeatureConfig(kmer=21, reads_per_batch=512),
+        str(tmp_path / "m"), mesh)
+    n2, a2, t2 = sharded.extract_features(interleaved=reads)
+    assert n1.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
