@@ -26,10 +26,11 @@ import numpy as np
 
 K, TNFK, WINDOW, VEC = 15, 4, 10, 400
 READ_LEN = 150
-ROW_LEN = 160  # row width near the read length: padding windows carry the
-               # sort sentinel but still cost sort time (FeatureConfig
-               # max_read_len — 256 default covers unknown inputs; fixed
-               # 150 bp linked reads fit 160)
+ROW_LEN = 152  # row width at the read length rounded up to 8 — exactly
+               # what FeatureConfig.auto_row_len picks for 150 bp reads.
+               # Padding windows carry the sort sentinel but still cost
+               # sort time, and the sort is ~70% of feature time, so row
+               # width is sort volume (160 wasted ~5%).
 N_BARCODES = int(os.environ.get("BENCH_BARCODES", 3000))
 PAIRS_PER_BC = int(os.environ.get("BENCH_PAIRS", 40))
 TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 200))

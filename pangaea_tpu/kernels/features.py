@@ -290,14 +290,17 @@ def kmer_key_sentinel(k: int) -> int:
     return 4 ** k
 
 
-_SORTJOIN_PAD_QUANTUM = 1 << 22  # 4M
+_SORTJOIN_PAD_QUANTUM = 1 << 20  # 1M
 
 
 def sortjoin_pad_size(n: int) -> int:
-    """Padded sort length: pow2 below 4M (tests), else the next 4M
+    """Padded sort length: pow2 below 1M (tests), else the next 1M
     multiple — sort cost is ~linear in operand length, so fine-grained
     padding beats pow2 (a 36M dataset would otherwise sort 64M), at the
-    price of one cached compilation per distinct multiple."""
+    price of one cached compilation per distinct multiple. 1M (not the
+    earlier 4M) because sentinel padding is pure sort cost: at the
+    headline 33.9M-window shape a 4M quantum re-added 11% sentinels,
+    silently eating the auto_row_len win."""
     if n <= _SORTJOIN_PAD_QUANTUM:
         return 1 << max(0, (n - 1)).bit_length()
     q = _SORTJOIN_PAD_QUANTUM

@@ -53,6 +53,11 @@ class VAE(NamedTuple):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
     loss_eps: float = 1e-9
+    # 'bfloat16' runs every matmul on the MXU in bf16 with fp32
+    # accumulation (params, activations between layers, BN, and the loss
+    # all stay fp32). 'float32' reproduces the reference numerics
+    # (torch fp32, VAENET.py:238-253) and is the default.
+    matmul_dtype: str = "float32"
 
     @property
     def input_dim(self) -> int:
@@ -145,6 +150,14 @@ def _bn_apply(layer: Pytree, state: Pytree, x: jnp.ndarray, *, train: bool,
     return xhat * layer["scale"] + layer["bias"], new_state
 
 
+def _mm(x: jnp.ndarray, w: jnp.ndarray, model: VAE) -> jnp.ndarray:
+    """x @ w under the model's matmul precision policy."""
+    if model.matmul_dtype == "bfloat16":
+        return jax.lax.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    return x @ w
+
+
 def _leaky(x: jnp.ndarray, slope: float) -> jnp.ndarray:
     if slope == 1.0:
         return x
@@ -162,7 +175,7 @@ def _stack(layers: List[Pytree], states: List[Pytree], x: jnp.ndarray, *,
            model: VAE, train: bool, mask, drop_keys):
     new_states = []
     for i, (layer, st) in enumerate(zip(layers, states)):
-        x = x @ layer["w"] + layer["b"]
+        x = _mm(x, layer["w"], model) + layer["b"]
         x, nst = _bn_apply(layer, st, x, train=train, mask=mask,
                            eps=model.bn_eps, momentum=model.bn_momentum)
         new_states.append(nst)
@@ -192,8 +205,9 @@ def vae_forward(params: Pytree, bn_state: Pytree, model: VAE,
     x = jnp.concatenate([abd, tnf], axis=1)
     h, enc_states = _stack(params["enc"], bn_state["enc"], x, model=model,
                            train=train, mask=mask, drop_keys=enc_drop)
-    mu = h @ params["mu"]["w"] + params["mu"]["b"]
-    logsigma = jax.nn.softplus(h @ params["sigma"]["w"] + params["sigma"]["b"])
+    mu = _mm(h, params["mu"]["w"], model) + params["mu"]["b"]
+    logsigma = jax.nn.softplus(
+        _mm(h, params["sigma"]["w"], model) + params["sigma"]["b"])
     if noise_key is not None:
         eps = jax.random.normal(noise_key, mu.shape, mu.dtype)
     else:
@@ -201,7 +215,7 @@ def vae_forward(params: Pytree, bn_state: Pytree, model: VAE,
     latent = mu + eps * jnp.exp(logsigma / 2.0)
     d, dec_states = _stack(params["dec"], bn_state["dec"], latent, model=model,
                            train=train, mask=mask, drop_keys=dec_drop)
-    out = d @ params["out"]["w"] + params["out"]["b"]
+    out = _mm(d, params["out"]["w"], model) + params["out"]["b"]
     abd_rec = jax.nn.softmax(out[:, : model.abd_dim], axis=1)
     tnf_rec = jax.nn.softmax(out[:, model.abd_dim:], axis=1)
     out_net = {"abd": abd, "tnf": tnf, "abd_rec": abd_rec,
@@ -215,7 +229,7 @@ def vae_embed(params: Pytree, bn_state: Pytree, model: VAE,
     x = jnp.concatenate([abd, tnf], axis=1)
     h, _ = _stack(params["enc"], bn_state["enc"], x, model=model,
                   train=False, mask=None, drop_keys=[None, None])
-    return h @ params["mu"]["w"] + params["mu"]["b"]
+    return _mm(h, params["mu"]["w"], model) + params["mu"]["b"]
 
 
 def _masked_mean(per_row: jnp.ndarray, mask: Optional[jnp.ndarray]):

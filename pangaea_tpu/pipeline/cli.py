@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-wa", "--weight_alpha", type=float, default=0.1)
     p.add_argument("-wk", "--weight_kl", type=float, default=0.015)
     p.add_argument("-ld", "--latent_dim", type=int, default=32)
+    p.add_argument("--matmul_dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="VAE matmul precision: bfloat16 runs the MXU in "
+                        "bf16 with fp32 accumulation (faster; reference "
+                        "numerics are float32)")
     # others
     p.add_argument("-c", "--clusters", type=int, default=None)
     p.add_argument("-m", "--metaphlan_db", type=str, default="")
@@ -69,7 +74,8 @@ def config_from_args(args: argparse.Namespace) -> PangaeaConfig:
             weight_decay=args.weight_decay, epochs=args.epochs,
             batch_size=args.batch_size, dropout=args.dropout,
             patience=args.patience, weight_alpha=args.weight_alpha,
-            weight_kl=args.weight_kl),
+            weight_kl=args.weight_kl,
+            matmul_dtype=getattr(args, "matmul_dtype", "float32")),
         cluster=ClusterConfig(n_clusters=args.clusters),
         assembly=AssemblyConfig(low_abd_cut=args.low_abd_cut,
                                 low_assembler=args.low_assembler),

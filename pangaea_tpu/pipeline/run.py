@@ -68,7 +68,8 @@ class Pipeline:
         model = VAE(abd_dim=ds.abd_dim, tnf_dim=ds.tnf_dim,
                     hidden_sizes=tuple(m.hidden_sizes),
                     latent_dim=m.latent_dim, dropout=m.dropout,
-                    negative_slope=m.negative_slope)
+                    negative_slope=m.negative_slope,
+                    matmul_dtype=m.matmul_dtype)
         trainer = VAETrainer(model, m)
         rng = np.random.RandomState(m.seed)
         params, bn = trainer.fit(ds, self.model_dir, rng=rng)

@@ -257,3 +257,33 @@ def test_latent_separates_clusters(tmp_path):
     from sklearn.metrics import adjusted_rand_score
     pred = KMeans(3, n_init=10, random_state=0).fit_predict(mu)
     assert adjusted_rand_score(lab, pred) > 0.9
+
+
+def test_bf16_matmul_forward_close_and_trains(setup, tmp_path):
+    """matmul_dtype='bfloat16' (MXU path) must track the fp32 forward to
+    bf16 tolerance and train to a separating latent like fp32 does."""
+    model, params, bn_state, abd, tnf, _ = setup
+    bf = model._replace(matmul_dtype="bfloat16")
+    out32, _ = vae_forward(params, bn_state, model, jnp.asarray(abd),
+                           jnp.asarray(tnf), key=None, train=False)
+    outbf, _ = vae_forward(params, bn_state, bf, jnp.asarray(abd),
+                           jnp.asarray(tnf), key=None, train=False)
+    # activations stay fp32; only the matmul operands round to bf16
+    for k in ["abd_rec", "tnf_rec", "mu"]:
+        assert np.asarray(outbf[k]).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(outbf[k]),
+                                   np.asarray(out32[k]),
+                                   rtol=0.05, atol=0.02)
+    ds, lab = make_synth_dataset(n=600, k=3)
+    cfg = ModelConfig(epochs=12, batch_size=128, patience=100,
+                      eval_every_batches=5, matmul_dtype="bfloat16")
+    bf_model = make_model()._replace(matmul_dtype="bfloat16")
+    trainer = VAETrainer(bf_model, cfg)
+    p, bn = trainer.fit(ds, str(tmp_path), jax_seed=0)
+    mu = np.asarray(vae_embed(p, bn, bf_model, jnp.asarray(ds.abd),
+                              jnp.asarray(ds.tnf)))
+    assert np.isfinite(mu).all()
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import adjusted_rand_score
+    pred = KMeans(3, n_init=10, random_state=0).fit_predict(mu)
+    assert adjusted_rand_score(lab, pred) > 0.9

@@ -445,3 +445,20 @@ def test_feature_extractor_k21_matches_string_oracle(tmp_path):
         want_rows.append(row)
     assert list(names) == want_names
     np.testing.assert_array_equal(abd, np.array(want_rows))
+
+
+def test_sortjoin_pad_size_properties():
+    """Pad size covers n, is reachable by few compilations (pow2 below
+    the quantum, quantum multiples above), and keeps sentinel overhead
+    under ~3% at large n (sentinels are pure sort cost — DESIGN.md 3b)."""
+    from pangaea_tpu.kernels.features import (_SORTJOIN_PAD_QUANTUM,
+                                              sortjoin_pad_size)
+    q = _SORTJOIN_PAD_QUANTUM
+    for n in [1, 2, 3, q - 1, q, q + 1, 10 * q - 5, 33_914_880]:
+        p = sortjoin_pad_size(n)
+        assert p >= n
+        if n <= q:
+            assert p & (p - 1) == 0  # pow2
+        else:
+            assert p % q == 0 and p - n < q
+            assert (p - n) / n < 0.03 or n < 32 * q
