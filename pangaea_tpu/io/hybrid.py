@@ -10,6 +10,9 @@ Contracts:
   contig is in the map), then draws ONE uniformly at random
   (srand(2023), :105 ``rand() % size``); output lines are
   ``<name> <barcode>`` (or bare ``<name>`` when no barcode qualified).
+  The draw replicates glibc's ``rand()`` stream bit-exactly
+  (utils.GlibcRand), matching the reference run single-threaded — under
+  OpenMP the reference's own rand() interleaving is nondeterministic.
 - assign_barcodes (src/cpptools/assign_barcodes.cpp): rewrite R1/R2 into
   one interleaved FASTQ; reads found in the map with a real barcode get
   headers ``@<name> BX:Z:<bc>-1`` (the barcode value in the map already
@@ -21,10 +24,9 @@ from __future__ import annotations
 import logging
 from typing import Dict, Optional
 
-import numpy as np
-
 from pangaea_tpu.io.bam import BamReader
 from pangaea_tpu.io.fastq import BarcodeParser, open_maybe_gzip
+from pangaea_tpu.utils import GlibcRand
 
 log = logging.getLogger(__name__)
 
@@ -83,7 +85,7 @@ def add_barcode(bam_path: str, map_path: str, out_prefix: str,
                 min_cols: int = 60, seed: int = 2023) -> str:
     """Writes <out>_map.txt; returns its path."""
     lr_to_barcode = load_barcode_map(map_path)
-    rng = np.random.RandomState(seed)
+    rng = GlibcRand(seed)
     reader = BamReader(bam_path)
     out_path = out_prefix + "_map.txt"
     n_bc = n_nobc = 0
@@ -96,7 +98,7 @@ def add_barcode(bam_path: str, map_path: str, out_prefix: str,
             if group_name is None:
                 return
             if candidates:
-                barcode = candidates[int(rng.randint(len(candidates)))]
+                barcode = candidates[rng.rand() % len(candidates)]
                 out.write(f"{group_name} {barcode}\n")
                 n_bc += 1
             else:

@@ -9,6 +9,50 @@ import sys
 from typing import List, Optional
 
 
+class GlibcRand:
+    """Bit-exact replica of glibc's ``rand()`` (TYPE_3 additive-feedback
+    generator, the default for ``srand``/``rand``).
+
+    Used to reproduce the reference's virtual-barcode draws byte-for-byte:
+    add_barcode seeds ``srand(2023)`` (/root/reference/src/cpptools/
+    add_barcode.cpp:105) and consumes one ``rand() % n`` per read group
+    with >=1 qualifying alignment (:71-72). The reference runs that loop
+    under OpenMP, where ``rand()`` interleaving is nondeterministic; this
+    replica matches the OMP_NUM_THREADS=1 stream, which is the only
+    deterministic ordering the reference itself has.
+
+    Algorithm (glibc stdlib/random_r.c): 31-word state seeded by a
+    Park-Miller LCG via Schrage's method, recurrence
+    ``r[i] = (r[i-31] + r[i-3]) mod 2^32`` with the first 310 outputs
+    discarded; each output is ``r[i] >> 1``. Verified against compiled C
+    by tests/test_hybrid_e2e.py::test_glibc_rand_matches_libc.
+    """
+
+    def __init__(self, seed: int) -> None:
+        word = (seed & 0xFFFFFFFF) or 1
+        if word >= 0x80000000:
+            word -= 0x100000000
+        r = [word]
+        for _ in range(30):
+            hi, lo = divmod(word, 127773)
+            word = 16807 * lo - 2836 * hi
+            if word < 0:
+                word += 2147483647
+            r.append(word)
+        r += r[:3]
+        for i in range(34, 344):
+            r.append((r[i - 31] + r[i - 3]) & 0xFFFFFFFF)
+        self._r = r[-31:]
+        self._i = 0
+
+    def rand(self) -> int:
+        r, i = self._r, self._i
+        val = (r[i] + r[i - 3]) & 0xFFFFFFFF
+        r[i] = val
+        self._i = (i + 1) % 31
+        return val >> 1
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Persist XLA compilations across processes. The first TPU compile of
     the feature/cluster graphs costs minutes; with the cache, re-runs and

@@ -73,3 +73,30 @@ def test_hybrid_preprocess_builtin_mapper(tmp_path):
         tags.append(rec.header.split("BX:Z:")[1]
                     if "BX:Z:" in rec.header else "~~~")
     assert tags == sorted(tags)
+
+
+def test_glibc_rand_matches_libc(tmp_path):
+    """utils.GlibcRand reproduces the C library rand() stream bit-exactly
+    (the draw source of add_barcode.cpp:72,105)."""
+    import shutil
+    import subprocess
+
+    from pangaea_tpu.utils import GlibcRand
+
+    if not shutil.which("gcc"):
+        import pytest
+        pytest.skip("no C compiler")
+    src = tmp_path / "randref.c"
+    src.write_text(
+        "#include <stdio.h>\n#include <stdlib.h>\n"
+        "int main(int c, char**v){srand(atoi(v[1]));"
+        "for(int i=0;i<1000;i++)printf(\"%d\\n\",rand());return 0;}\n")
+    exe = str(tmp_path / "randref")
+    subprocess.run(["gcc", "-O2", str(src), "-o", exe], check=True)
+    for seed in (2023, 1, 0, 123456789):
+        want = [int(x) for x in subprocess.run(
+            [exe, str(seed)], capture_output=True, text=True,
+            check=True).stdout.split()]
+        g = GlibcRand(seed)
+        got = [g.rand() for _ in range(1000)]
+        assert got == want, f"seed {seed}"
