@@ -40,6 +40,7 @@ from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
 from pangaea_tpu.kernels.features import (abundance_histogram,
                                           abundance_histogram_from_bins,
                                           abundance_histogram_segsum,
+                                          add_keys_to_table,
                                           batch_kmer_keys, count_kmers_global,
                                           kmer_key_sentinel,
                                           make_global_table, sortjoin_bins,
@@ -282,13 +283,63 @@ class FeatureExtractor:
             return True
         if jax.default_backend() == "cpu":
             return False  # CPU scatters are fast; sorts win on TPU
+        est_windows = self._estimate_stream_windows(interleaved)
+        if est_windows is None:
+            return False
+        # 5% headroom: a wrong guess is not fatal (the mid-stream overflow
+        # falls back gracefully, re-reading once for abundance only) but
+        # still costs that re-read
+        return est_windows * 21 // 20 <= c.sortjoin_max_windows
+
+    def _estimate_stream_windows(self, interleaved: str) -> Optional[int]:
+        """Sorted-window count the sort-join would produce, estimated by
+        parsing a decompressed prefix sample: records/compressed-byte and
+        packed rows/record are measured, then scaled to the file size.
+        Replaces the old gz-ratio guess (bytes*4/2), which assumed a fixed
+        compression ratio and read length and could be off by >2x either
+        way. Exact (not an estimate) when the sample covers the file."""
+        import zlib
+        c = self.cfg
         try:
             size = os.path.getsize(interleaved)
+            with open(interleaved, "rb") as f:
+                raw = f.read(4 << 20)
         except OSError:
-            return False
-        raw = size * 4 if interleaved.endswith((".gz", ".bgz")) else size
-        est_windows = raw // 2  # ~1 window/base, ~2.3 raw bytes/base
-        return est_windows <= c.sortjoin_max_windows
+            return None
+        if not raw:
+            return 0
+        consumed = len(raw)
+        if interleaved.endswith((".gz", ".bgz")):
+            data = bytearray()
+            buf = bytes(raw)
+            try:
+                while buf:
+                    d = zlib.decompressobj(wbits=31)
+                    data += d.decompress(buf)
+                    if not d.eof:
+                        break  # member continues past the prefix
+                    buf = d.unused_data
+            except zlib.error:
+                pass  # truncated tail of the prefix — expected
+            text = bytes(data)
+        else:
+            text = raw
+        lines = text.split(b"\n")
+        nrec = (len(lines) - 1) // 4  # drop the trailing partial record
+        if nrec == 0:
+            return None
+        rl, step = self.row_len, self.row_len - (c.kmer - 1)
+        rows = 0
+        for seq in lines[1:4 * nrec:4]:
+            n = len(seq)
+            rows += 1 if n <= rl else 1 + -(-(n - rl) // step)
+        if consumed >= size:
+            est_rows = rows  # whole file sampled: exact
+        else:
+            est_rows = int(rows * (size / consumed)) + 1
+        wrow = rl - c.kmer + 1
+        est_batches = -(-est_rows // c.reads_per_batch)
+        return est_batches * c.reads_per_batch * wrow
 
     def _sortjoin_chunks(self, interleaved: str):
         c = self.cfg
@@ -313,6 +364,11 @@ class FeatureExtractor:
             bug_compat=c.bug_compat_boundary_leak)
         return gp.groups_per_chunk, gp.iter_chunks(groups)
 
+    # ShardedFeatureExtractor keeps the restart-on-overflow path: its
+    # table is key-range sharded over the mesh, which the inline
+    # single-device scatter fallback below does not compose with.
+    _inline_table_fallback = True
+
     def group_features_sortjoin(self, interleaved: str
                                 ) -> Tuple[np.ndarray, np.ndarray,
                                            np.ndarray]:
@@ -324,6 +380,15 @@ class FeatureExtractor:
         global count == abundance bin. Phase C replays the recorded
         seg_ids to histogram the bins per barcode. The FASTQ is read once
         (the table path reads it twice).
+
+        If the window count crosses ``sortjoin_max_windows`` mid-stream
+        (the sampled estimate guessed low), the pass does NOT restart:
+        the collected keys fold into a dense global table
+        (``add_keys_to_table``), the remaining batches scatter into it as
+        they stream, TNF keeps accumulating, and only the abundance
+        histogram needs one extra read of the stream at the end
+        (``_abundance_from_table``). k > 15 has no dense table, so it
+        still raises :class:`SortJoinOverflow`.
         """
         import jax
         from pangaea_tpu.io.prefetch import prefetch
@@ -331,27 +396,48 @@ class FeatureExtractor:
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
         G, chunks = self._sortjoin_chunks(interleaved)
-        keys_parts: List[jnp.ndarray] = []
-        chunk_meta = []  # (names, [seg_ids], thist)
+        keys_parts: List[Tuple[jnp.ndarray, ...]] = []
+        chunk_meta = []  # (names, [seg_ids] | None, thist)
         total = 0
+        table = None  # engaged by the overflow fallback
         for chunk in prefetch(chunks):
             thist = jnp.zeros((G, ncols), jnp.int32)
-            segs = []
+            segs = [] if table is None else None
             for b in chunk.batches:
                 codes, lengths, seg, cont = self._device_batch(b)
-                keys_parts.append(self._batch_keys(codes, lengths, cont))
-                total += keys_parts[-1][0].shape[0]
+                if table is None:
+                    keys_parts.append(self._batch_keys(codes, lengths,
+                                                       cont))
+                    total += keys_parts[-1][0].shape[0]
+                    segs.append(seg)
+                else:
+                    table = add_keys_to_table(
+                        table, batch_kmer_keys(codes, lengths, cont,
+                                               k=c.kmer, overlap=overlap))
                 thist = tnf_histogram_segsum(
                     thist, codes, lengths, seg, cont, k=c.tnf_kmer,
                     num_cols=ncols, overlap=overlap, n_groups=G)
-                segs.append(seg)
             chunk_meta.append((chunk.names, segs, thist))
             log.info("sortjoin pass A: %d barcodes, %d windows",
                      sum(len(m[0]) for m in chunk_meta), total)
-            if total > c.sortjoin_max_windows:
-                raise SortJoinOverflow(
-                    f"{total} windows > sortjoin_max_windows="
-                    f"{c.sortjoin_max_windows}")
+            if table is None and total > c.sortjoin_max_windows:
+                if c.kmer > 15 or not self._inline_table_fallback:
+                    raise SortJoinOverflow(
+                        f"{total} windows > sortjoin_max_windows="
+                        f"{c.sortjoin_max_windows}")
+                log.warning(
+                    "sort-join overflow (%d windows > cap %d); folding "
+                    "collected keys into the dense table and continuing "
+                    "(TNF needs no re-read; abundance re-reads once)",
+                    total, c.sortjoin_max_windows)
+                table = make_global_table(c.kmer)
+                for part in keys_parts:
+                    table = add_keys_to_table(table, part[0])
+                keys_parts = []
+                chunk_meta = [(n, None, t) for n, _s, t in chunk_meta]
+        if table is not None:
+            return self._finish_sortjoin_overflow(table, interleaved, G,
+                                                  chunk_meta, ncols)
         if not chunk_meta or total == 0:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
@@ -390,6 +476,83 @@ class FeatureExtractor:
                     np.zeros((0, ncols), np.int32))
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
+
+    def _finish_sortjoin_overflow(self, table, interleaved: str, G: int,
+                                  chunk_meta, ncols: int
+                                  ) -> Tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+        """Assemble results after the inline overflow fallback: TNF comes
+        from the (completed) phase-A accumulators, abundance from one
+        table-lookup re-read of the stream."""
+        c = self.cfg
+        names: List[str] = []
+        tnf_rows = []
+        for cnames, _segs, thist in chunk_meta:
+            g = len(cnames)
+            names += list(cnames)
+            tnf_rows.append(np.asarray(thist)[:g])
+        abd_names, abd = self._abundance_from_table(table, interleaved, G)
+        del table
+        if not names:
+            return (np.array([], dtype=object),
+                    np.zeros((0, c.vector_size), np.int32),
+                    np.zeros((0, ncols), np.int32))
+        names_arr = np.array(names)
+        # same grouping rules both passes -> identical group sequence
+        assert np.array_equal(names_arr, abd_names)
+        log.info("sortjoin overflow fallback done: %d barcodes", len(names))
+        return names_arr, abd, np.concatenate(tnf_rows)
+
+    def _abundance_from_table(self, table, interleaved: str, G: int
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Abundance-only group pass against a dense global table — the
+        overflow fallback's single re-read (TNF never re-reads)."""
+        from pangaea_tpu.io.prefetch import prefetch
+        c = self.cfg
+        overlap = c.kmer - 1
+        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
+                         overlap=overlap, reads_per_batch=c.reads_per_batch)
+        use_native = False
+        if c.bug_compat_boundary_leak:
+            try:
+                from pangaea_tpu.native import native_available
+                use_native = native_available()
+            except Exception:
+                pass
+        if use_native:
+            from pangaea_tpu.io.fast_packing import native_group_chunks
+            chunks = native_group_chunks(
+                interleaved, c.min_length, self.row_len,
+                c.reads_per_batch, gp.groups_per_chunk)
+        else:
+            groups = iter_barcode_groups(
+                iter_read_pairs_interleaved(interleaved),
+                bug_compat=c.bug_compat_boundary_leak)
+            chunks = gp.iter_chunks(groups)
+        segsum = use_segsum_impl(c.hist_impl)
+        names: List[str] = []
+        abd_rows = []
+        for chunk in prefetch(chunks):
+            hist = (jnp.zeros((G, c.vector_size), jnp.int32) if segsum
+                    else jnp.zeros(G * c.vector_size, jnp.int32))
+            for b in chunk.batches:
+                args = self._device_batch(b)
+                if segsum:
+                    hist = abundance_histogram_segsum(
+                        hist, table, *args, k=c.kmer, window=c.window_size,
+                        vector_size=c.vector_size, overlap=overlap,
+                        n_groups=G)
+                else:
+                    hist = abundance_histogram(
+                        hist, table, *args, k=c.kmer, window=c.window_size,
+                        vector_size=c.vector_size, overlap=overlap)
+            g = chunk.num_groups
+            names += chunk.names
+            abd_rows.append(np.asarray(hist).reshape(G, c.vector_size)[:g])
+        if not names:
+            return (np.array([], dtype=object),
+                    np.zeros((0, c.vector_size), np.int32))
+        return np.array(names), np.concatenate(abd_rows)
 
     def _sortjoin_pad_size(self, total: int) -> int:
         """Padded sort length (sharded twin rounds to the mesh size)."""

@@ -337,6 +337,11 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
 class ShardedFeatureExtractor(FeatureExtractor):
     """FeatureExtractor whose device batches shard rows over the mesh."""
 
+    # overflow restarts on the sharded table path: the base class's
+    # inline fallback scatters into a single-device dense table, which
+    # does not compose with this class's key-range-sharded counter
+    _inline_table_fallback = False
+
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
         self.mesh = mesh

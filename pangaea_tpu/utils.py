@@ -34,7 +34,17 @@ class GlibcRand:
             word -= 0x100000000
         r = [word]
         for _ in range(30):
-            hi, lo = divmod(word, 127773)
+            # Schrage step with C semantics: glibc computes hi/lo with
+            # truncating division (random_r.c seeds via `long int`), which
+            # differs from Python's floor divmod when word is negative —
+            # i.e. for seeds >= 2^31, whose initial word is a negative
+            # int32. Only the first iteration can see word < 0 (the step
+            # maps into [0, 2^31) afterwards).
+            if word < 0:
+                hi = -(-word // 127773)
+                lo = word - hi * 127773
+            else:
+                hi, lo = divmod(word, 127773)
             word = 16807 * lo - 2836 * hi
             if word < 0:
                 word += 2147483647

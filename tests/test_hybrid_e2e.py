@@ -83,17 +83,26 @@ def test_glibc_rand_matches_libc(tmp_path):
 
     from pangaea_tpu.utils import GlibcRand
 
+    import pytest
     if not shutil.which("gcc"):
-        import pytest
         pytest.skip("no C compiler")
+    # The oracle is the host C library: only glibc implements the TYPE_3
+    # stream GlibcRand replicates (musl etc. differ by design).
+    import ctypes
+    import ctypes.util
+    libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
+    if not hasattr(libc, "gnu_get_libc_version"):
+        pytest.skip("host libc is not glibc")
     src = tmp_path / "randref.c"
     src.write_text(
         "#include <stdio.h>\n#include <stdlib.h>\n"
-        "int main(int c, char**v){srand(atoi(v[1]));"
+        "int main(int c, char**v){srand((unsigned)strtoul(v[1],0,10));"
         "for(int i=0;i<1000;i++)printf(\"%d\\n\",rand());return 0;}\n")
     exe = str(tmp_path / "randref")
     subprocess.run(["gcc", "-O2", str(src), "-o", exe], check=True)
-    for seed in (2023, 1, 0, 123456789):
+    # includes seeds >= 2^31 (negative initial int32 word), which exercise
+    # the C-truncating-division branch of the Schrage seeding step
+    for seed in (2023, 1, 0, 123456789, 2147483649, 2250599295, 4294967295):
         want = [int(x) for x in subprocess.run(
             [exe, str(seed)], capture_output=True, text=True,
             check=True).stdout.split()]

@@ -195,6 +195,63 @@ def test_sortjoin_overflow_falls_back(tmp_path):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_sortjoin_overflow_single_reread(tmp_path, monkeypatch):
+    """Mid-stream overflow keeps the TNF accumulation (zero re-reads) and
+    re-reads the stream exactly once for abundance: two passes total over
+    the FASTQ, not the three a full restart would cost."""
+    import pangaea_tpu.features as fmod
+    import pangaea_tpu.native as nat
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=8,
+        pairs_per_barcode=5, read_len=40, seed=7)
+    monkeypatch.setattr(nat, "native_available", lambda: False)
+    opens = []
+    real_iter = fmod.iter_read_pairs_interleaved
+
+    def counting_iter(path):
+        opens.append(path)
+        return real_iter(path)
+
+    monkeypatch.setattr(fmod, "iter_read_pairs_interleaved", counting_iter)
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=32,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=100)  # force overflow
+    fe = FeatureExtractor(cfg, str(tmp_path / "ovf"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    assert len(opens) == 2, opens  # phase A + abundance-only re-read
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_estimate_stream_windows_exact_on_small_file(tmp_path):
+    """The sampled-prefix window estimator is exact when the sample covers
+    the file (and therefore accurate, not a gz-ratio guess, at scale)."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    for name in ("est.fq.gz", "est.fq"):
+        fq = str(tmp_path / name)
+        simulate_linked_reads(
+            out_interleaved=fq, n_species=2, genome_len=4_000,
+            n_barcodes=8, pairs_per_barcode=5, read_len=40, seed=3)
+        cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                            max_read_len=64, reads_per_batch=32,
+                            min_qual_char=None)
+        fe = FeatureExtractor(cfg, str(tmp_path / ("d" + name)))
+        est = fe._estimate_stream_windows(fq)
+        n_reads = 8 * 5 * 2  # all <= row_len, one row each
+        batches = -(-n_reads // 32)
+        exact = batches * 32 * (64 - 9 + 1)
+        assert est == exact, (est, exact)
+
+
 def test_auto_row_len_equivalence(tmp_path):
     """auto_row_len packs narrow rows; features are unchanged, and
     rows narrower than the reads (python split path) are also exact."""
