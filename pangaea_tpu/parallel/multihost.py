@@ -23,10 +23,94 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _iter_raw_chunks(path: str, chunk_size: int):
+    """Yield (decompressed_chunk, raw_bytes_consumed_so_far). Gzip input
+    inflates via zlib.decompressobj (handles multi-member pigz/bgzf
+    files); the consumed counter is in *compressed* bytes so shard
+    balancing works without knowing the decompressed total."""
+    import zlib
+    gz = path.endswith((".gz", ".bgz"))
+    with open(path, "rb") as f:
+        consumed = 0
+        if not gz:
+            while True:
+                chunk = f.read(chunk_size)
+                if not chunk:
+                    return
+                consumed += len(chunk)
+                yield chunk, consumed
+        d = zlib.decompressobj(wbits=31)
+        while True:
+            raw = f.read(chunk_size)
+            if not raw:
+                return
+            consumed += len(raw)
+            out = d.decompress(raw)
+            while d.eof and d.unused_data:  # next gzip member
+                tail = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                out += d.decompress(tail)
+            if out:
+                yield out, consumed
+
+
+class _ShardWriter:
+    """Shard output file; with compress=True, gzip level-1 compression
+    runs on a dedicated thread (zlib releases the GIL, so the n_shards
+    compressors and the reader genuinely overlap)."""
+
+    def __init__(self, path: str, compress: bool):
+        self.path = path + ".gz" if compress else path
+        self._f = open(self.path, "wb")
+        self._q = None
+        if compress:
+            import queue
+            import threading
+            self._q = queue.Queue(maxsize=8)
+            self._t = threading.Thread(target=self._run, daemon=True)
+            self._t.start()
+
+    def _run(self):
+        import zlib
+        comp = zlib.compressobj(1, zlib.DEFLATED, 31)
+        while True:
+            block = self._q.get()
+            if block is None:
+                self._f.write(comp.flush())
+                return
+            out = comp.compress(block)
+            if out:
+                self._f.write(out)
+
+    def write(self, block: bytes):
+        if self._q is not None:
+            self._q.put(block)
+        else:
+            self._f.write(block)
+
+    def close(self):
+        if self._q is not None:
+            self._q.put(None)
+            self._t.join()
+        self._f.close()
+
+
 def split_interleaved_by_barcode(path: str, out_prefix: str,
-                                 n_shards: int) -> List[str]:
+                                 n_shards: int, compress: bool = None,
+                                 chunk_size: int = 8 << 20) -> List[str]:
     """Split a barcode-sorted interleaved FASTQ into n shards at barcode
     boundaries (approximately byte-balanced). Returns shard paths.
+
+    This replaces the reference's genome-scale external barcode sort +
+    manual splitting (src/run_pangaea:237-252) on the multi-host input
+    path, so it is byte-chunked, not per-record: away from shard
+    boundaries, 8 MiB blocks stream straight from the inflater to the
+    output (only a newline count per block); records are parsed only in
+    the boundary regions while hunting for the next barcode change.
+    Balancing thresholds are in *input* bytes (compressed for .gz), so
+    gzip input balances without knowing the decompressed size.
+    ``compress=None`` matches the input (gzip in -> level-1 gzip shards,
+    each on its own compressor thread).
 
     Grouping quirk note: the reference's boundary leak moves the first
     pair of each barcode into the previous group, so a split at a barcode
@@ -35,31 +119,81 @@ def split_interleaved_by_barcode(path: str, out_prefix: str,
     whose leaked-in pair stays on the previous shard; feature counts are
     additive either way because groups never span shards.
     """
-    from pangaea_tpu.io.fastq import BarcodeParser, open_maybe_gzip
+    from pangaea_tpu.io.fastq import BarcodeParser
     parser = BarcodeParser()
-    outs = [open(f"{out_prefix}.shard{i}.fq", "w") for i in range(n_shards)]
-    total = os.path.getsize(path)
-    per_shard = max(total // n_shards, 1)
+    if compress is None:
+        compress = path.endswith((".gz", ".bgz"))
+    total_raw = os.path.getsize(path)
+    writers = [_ShardWriter(f"{out_prefix}.shard{i}.fq", compress)
+               for i in range(n_shards)]
     cur = 0
-    written = 0
-    last_bc = None
+    phase = 0        # newlines into the current 8-line pair block
+    scanning = False
+    baseline = None  # barcode of the first pair seen in this scan
+    carry = b""      # undecided tail: an incomplete pair block
+
+    def cutoff(i: int) -> int:
+        return total_raw * (i + 1) // n_shards
+
     try:
-        with open_maybe_gzip(path) as f:
-            it = iter(f)
-            for h1 in it:
-                rec = [h1] + [next(it) for _ in range(7)]
-                _, bc = parser.parse(h1.rstrip("\n").lstrip("@"))
-                if (written > per_shard * (cur + 1) and bc != last_bc
-                        and cur < n_shards - 1):
+        consumed = 0
+        for chunk, consumed in _iter_raw_chunks(path, chunk_size):
+            if not scanning:
+                if cur == n_shards - 1 or consumed <= cutoff(cur):
+                    # bulk: the whole chunk belongs to the current shard
+                    writers[cur].write(chunk)
+                    phase = (phase + chunk.count(b"\n")) % 8
+                    continue
+                scanning = True
+            buf = carry + chunk
+            carry = b""
+            pos = 0
+            # finish the pair block in flight (it predates the scan)
+            while phase and pos < len(buf):
+                nl = buf.find(b"\n", pos)
+                if nl == -1:
+                    writers[cur].write(buf[pos:])
+                    pos = len(buf)
+                    break
+                writers[cur].write(buf[pos:nl + 1])
+                pos = nl + 1
+                phase = (phase + 1) % 8
+            # parse whole pair blocks until the barcode changes
+            while scanning and pos < len(buf):
+                end = pos
+                complete = True
+                for _ in range(8):
+                    nl = buf.find(b"\n", end)
+                    if nl == -1:
+                        complete = False
+                        break
+                    end = nl + 1
+                if not complete:
+                    carry = buf[pos:]
+                    pos = len(buf)
+                    break
+                header = buf[pos:buf.find(b"\n", pos)]
+                _, bc = parser.parse(
+                    header.decode("ascii", "replace").lstrip("@"))
+                if baseline is None:
+                    baseline = bc
+                if bc != baseline:
                     cur += 1
-                block = "".join(rec)
-                outs[cur].write(block)
-                written += len(block)
-                last_bc = bc
+                    baseline = None
+                    if cur == n_shards - 1 or consumed <= cutoff(cur):
+                        scanning = False  # back to bulk for the rest
+                writers[cur].write(buf[pos:end])
+                pos = end
+            if not scanning and pos < len(buf):
+                rest = buf[pos:]
+                writers[cur].write(rest)
+                phase = rest.count(b"\n") % 8
+        if carry:  # incomplete trailing record — emit as-is
+            writers[cur].write(carry)
     finally:
-        for f in outs:
-            f.close()
-    return [f"{out_prefix}.shard{i}.fq" for i in range(n_shards)]
+        for w in writers:
+            w.close()
+    return [w.path for w in writers]
 
 
 def allreduce_table(table) -> "jax.Array":  # noqa: F821
