@@ -1,19 +1,31 @@
 #!/usr/bin/env python
 """Headline bench: feature-extraction + VAE binning reads/s on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The reference publishes no numbers (BASELINE.md), so the baseline is
-self-measured on this host's CPU: a numpy sort-based k-mer counter
-(jellyfish-class algorithm — sort/unique global table, searchsorted
-lookups, np.add.at histograms) plus the VAE train step on the XLA CPU
-backend, standing in for the reference's jellyfish + C++ count_kmer/tnf +
-torch-CPU stack. vs_baseline = TPU reads/s / host-CPU reads/s.
+self-measured on this host against the REAL reference stack (VERDICT r1
+item 1): the reference's count_kmer/count_tnf binaries compiled from
+/root/reference/src/cpptools, fed a precomputed jellyfish-format dump
+(jellyfish itself is not in this image, so its global-count time is
+EXCLUDED — generous to the reference), plus a torch replica of the
+reference VAE train step (tools/refstack.py). The reference runs
+count_kmer and count_tnf concurrently (src/feature.py:28-39), so its
+feature wall is max() of the two.
 
-The bench times the DEVICE path (packed read batches prepared up front):
-global k-mer pass + per-barcode abundance/TNF pass + VAE train steps per
-epoch-equivalent. Host-side FASTQ parsing is benched separately by
-tests/bench_io (native IO milestone).
+Two numerators are measured on the same simulated linked-read dataset:
+
+  * value / vs_baseline — END-TO-END: FeatureExtractor.extract_features
+    straight from the FASTQ (host parse + packing + device sort-join
+    feature pass) plus the jitted VAE train block. This is the honest
+    like-for-like against the reference binaries, which also parse the
+    FASTQ themselves.
+  * device_compute_reads_per_s — the device-only feature+train path with
+    batches pre-packed (the former headline; kept as the compute ceiling).
+
+Run on a 2-CPU host the reference numbers use -t 2; the reference's
+intended deployment is a 50-150-thread server (src/run_pangaea:83), so
+vs_baseline is per-THIS-host, not per-reference-server.
 """
 
 import json
@@ -24,28 +36,57 @@ import time
 
 import numpy as np
 
-K, TNFK, WINDOW, VEC = 15, 4, 10, 400
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+K, TNFK, WINDOW, VEC, MIN_LEN = 15, 4, 10, 400, 2000
 READ_LEN = 150
-ROW_LEN = 152  # row width at the read length rounded up to 8 — exactly
-               # what FeatureConfig.auto_row_len picks for 150 bp reads.
-               # Padding windows carry the sort sentinel but still cost
-               # sort time, and the sort is ~70% of feature time, so row
-               # width is sort volume (160 wasted ~5%).
+ROW_LEN = 152  # what FeatureConfig.auto_row_len picks for 150 bp reads
 N_BARCODES = int(os.environ.get("BENCH_BARCODES", 3000))
 PAIRS_PER_BC = int(os.environ.get("BENCH_PAIRS", 40))
 TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 200))
-CPU_SCALE = 8  # CPU proxy runs 1/CPU_SCALE of the batches
+DATA_DIR = os.environ.get(
+    "BENCH_DATA_DIR",
+    f"/tmp/pangaea_bench_data/v1_{N_BARCODES}x{PAIRS_PER_BC}")
 
+
+# ---------------------------------------------------------------- dataset
+
+def prepare_dataset() -> dict:
+    """Simulated linked-read FASTQ + jellyfish-format dump, cached on disk.
+
+    Both stacks consume the same files: ours via extract_features, the
+    reference via `count_kmer -i reads.fq.gz -g table.dump`.
+    """
+    os.makedirs(DATA_DIR, exist_ok=True)
+    fq = os.path.join(DATA_DIR, "reads.fq.gz")
+    dump = os.path.join(DATA_DIR, "table.dump")
+    meta = os.path.join(DATA_DIR, "meta.json")
+    if not (os.path.exists(fq) and os.path.exists(dump)
+            and os.path.exists(meta)):
+        from pangaea_tpu.io.sim import simulate_linked_reads
+        from tools.refstack import write_jellyfish_dump
+        simulate_linked_reads(out_interleaved=fq, n_species=8,
+                              genome_len=200_000, n_barcodes=N_BARCODES,
+                              pairs_per_barcode=PAIRS_PER_BC,
+                              read_len=READ_LEN, seed=7)
+        n_reads = write_jellyfish_dump(fq, dump, k=K)
+        with open(meta, "w") as f:
+            json.dump({"n_reads": n_reads}, f)
+    with open(meta) as f:
+        n_reads = json.load(f)["n_reads"]
+    return {"fq": fq, "dump": dump, "n_reads": n_reads}
+
+
+# ------------------------------------------------- device compute (packed)
 
 def build_batches():
-    """Synthetic packed batches, no FASTQ involved (device-path bench)."""
+    """Synthetic packed batches, no FASTQ involved (device-compute bench)."""
     from pangaea_tpu.io.packing import PackedBatch
     rng = np.random.RandomState(0)
     rows_per_batch = 16384
     n_reads = N_BARCODES * PAIRS_PER_BC * 2
     reads_per_bc = PAIRS_PER_BC * 2
     batches = []
-    seg_base = 0
     for start in range(0, n_reads, rows_per_batch):
         n = min(rows_per_batch, n_reads - start)
         codes = np.full((rows_per_batch, ROW_LEN), 4, np.uint8)
@@ -57,67 +98,7 @@ def build_batches():
         seg[:n] = (start + np.arange(n)) // reads_per_bc
         batches.append(PackedBatch(codes, lengths, seg,
                                    np.zeros(rows_per_batch, np.uint8)))
-        seg_base += n
     return batches, n_reads
-
-
-def cpu_feature_baseline(batches, n_groups):
-    """Numpy sort-based feature extraction (the CPU baseline)."""
-    from pangaea_tpu.kernels.encode import (canonical_rank_lut,
-                                            num_canonical_kmers,
-                                            revcomp_kmers_np)
-
-    def window_vals(codes, lengths, k):
-        R, L = codes.shape
-        W = L - k + 1
-        c = codes.astype(np.int64)
-        safe = np.where(c < 4, c, 0)
-        acc = np.zeros((R, W), np.int64)
-        for j in range(k):
-            acc = (acc << 2) | safe[:, j:j + W]
-        bad = (c >= 4).astype(np.int32)
-        cs = np.cumsum(bad, axis=1)
-        nbad = cs[:, k - 1:] - np.pad(cs, ((0, 0), (1, 0)))[:, :W]
-        starts = np.arange(W)[None, :]
-        valid = (nbad == 0) & (starts + k <= lengths[:, None])
-        return acc, valid
-
-    t0 = time.time()
-    ncols = num_canonical_kmers(TNFK)
-    lut = canonical_rank_lut(TNFK)
-    # global pass: sort-based counting (jellyfish-class)
-    parts = []
-    for b in batches:
-        vals, valid = window_vals(b.codes, b.lengths, K)
-        canon = np.minimum(vals, revcomp_kmers_np(vals.astype(np.uint32), K)
-                           .astype(np.int64))
-        parts.append(canon[valid])
-    keys, counts = np.unique(np.concatenate(parts), return_counts=True)
-    del parts
-    # group pass
-    hist = np.zeros(n_groups * VEC, np.int64)
-    thist = np.zeros(n_groups * ncols, np.int64)
-    for b in batches:
-        vals, valid = window_vals(b.codes, b.lengths, K)
-        canon = np.minimum(vals, revcomp_kmers_np(vals.astype(np.uint32), K)
-                           .astype(np.int64))
-        keep = valid & (b.seg_ids[:, None] >= 0)
-        canon_f = canon[keep]
-        pos = np.searchsorted(keys, canon_f)
-        pos = np.clip(pos, 0, len(keys) - 1)
-        cnt = np.where(keys[pos] == canon_f, counts[pos], 0)
-        bins = cnt // WINDOW
-        seg = np.broadcast_to(b.seg_ids[:, None], keep.shape)[keep]
-        ok = (cnt > 0) & (bins < VEC)
-        np.add.at(hist, seg[ok] * VEC + bins[ok], 1)
-        tvals, tvalid = window_vals(b.codes, b.lengths, TNFK)
-        tkeep = tvalid & (b.seg_ids[:, None] >= 0)
-        ranks = lut[tvals[tkeep]]
-        tseg = np.broadcast_to(b.seg_ids[:, None], tkeep.shape)[tkeep]
-        np.add.at(thist, tseg * ncols + ranks, 1)
-    t_feat = time.time() - t0
-    return t_feat, hist.reshape(n_groups, VEC), thist.reshape(n_groups,
-                                                              ncols)
 
 
 def device_features(batches, n_groups):
@@ -186,12 +167,12 @@ def device_features(batches, n_groups):
 
 
 def train_bench(abd, tnf, n_groups, train_steps):
-    import jax
     import jax.numpy as jnp
     import jax.random as jrandom
     from pangaea_tpu.config import ModelConfig
     from pangaea_tpu.model import BarcodeDataset, VAE, VAETrainer
     from pangaea_tpu.model.vae import init_vae
+    from pangaea_tpu.utils import device_sync
 
     abd = np.array(abd)
     tnf = np.array(tnf)
@@ -211,7 +192,6 @@ def train_bench(abd, tnf, n_groups, train_steps):
                       ).astype(np.int32)
     mask = np.ones(idx.shape + (1,), np.float32)
     key = jrandom.PRNGKey(1)
-    from pangaea_tpu.utils import device_sync
     idx_d, mask_d = jnp.asarray(idx), jnp.asarray(mask)
     # compile at the EXACT timed shape (a different scan length would put
     # a fresh compile inside the timed region), real sync via transfer
@@ -225,71 +205,151 @@ def train_bench(abd, tnf, n_groups, train_steps):
     return time.time() - t0
 
 
-def run_measure(cpu_proxy: bool) -> dict:
-    if cpu_proxy:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+# --------------------------------------------------------- measure modes
+
+def run_device_compute() -> dict:
     from pangaea_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     batches, n_reads = build_batches()
-    if cpu_proxy:
-        batches = batches[: max(1, len(batches) // CPU_SCALE)]
-        n_reads = sum(int((b.lengths > 0).sum()) for b in batches)
-        steps = max(10, TRAIN_STEPS // CPU_SCALE)
-        t_feat, abd, tnf = cpu_feature_baseline(batches, N_BARCODES)
-    else:
-        steps = TRAIN_STEPS
-        t_feat, abd, tnf = device_features(batches, N_BARCODES)
-    # steps scale with the data slice, so reads/s compares directly
-    t_train = train_bench(abd, tnf, N_BARCODES, steps)
+    t_feat, abd, tnf = device_features(batches, N_BARCODES)
+    t_train = train_bench(abd, tnf, N_BARCODES, TRAIN_STEPS)
     return {"reads_per_s": n_reads / (t_feat + t_train), "t_feat": t_feat,
-            "t_train": t_train, "n_reads": n_reads, "steps": steps}
+            "t_train": t_train, "n_reads": n_reads, "steps": TRAIN_STEPS}
+
+
+def run_device_e2e() -> dict:
+    """FASTQ -> features on device (host parse + pack included) + train."""
+    import shutil
+    import tempfile
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    ds = prepare_dataset()
+    cfg = FeatureConfig(kmer=K, tnf_kmer=TNFK, window_size=WINDOW,
+                        vector_size=VEC, min_length=MIN_LEN)
+    # warm the compile cache at the exact shapes with a throwaway run
+    # (first compile via the TPU tunnel can dominate; the steady-state
+    # cost is what a production run pays per dataset shard)
+    work = tempfile.mkdtemp(prefix="bench_e2e_")
+    fe = FeatureExtractor(cfg, os.path.join(work, "warm"))
+    fe.extract_features(interleaved=ds["fq"])
+    t0 = time.time()
+    fe = FeatureExtractor(cfg, os.path.join(work, "timed"))
+    names, abd, tnf = fe.extract_features(interleaved=ds["fq"])
+    t_feat = time.time() - t0
+    t_train = train_bench(abd, tnf, len(names), TRAIN_STEPS)
+    shutil.rmtree(work, ignore_errors=True)
+    return {"reads_per_s": ds["n_reads"] / (t_feat + t_train),
+            "t_feat": t_feat, "t_train": t_train,
+            "n_reads": ds["n_reads"], "n_groups": len(names),
+            "steps": TRAIN_STEPS}
+
+
+def run_reference_stack() -> dict:
+    """The compiled reference binaries + torch VAE on the same dataset."""
+    import gzip
+    import tempfile
+    from tools import refstack
+
+    if not refstack.build_ref_tools():
+        raise RuntimeError("reference tools unavailable")
+    ds = prepare_dataset()
+    work = tempfile.mkdtemp(prefix="bench_ref_")
+    kmer_gz = os.path.join(work, "abundance.gz")
+    tnf_gz = os.path.join(work, "tnf.gz")
+    t_kmer = refstack.run_count_kmer(ds["fq"], ds["dump"], kmer_gz, k=K,
+                                     min_len=MIN_LEN, window=WINDOW,
+                                     vector=VEC)
+    t_tnf = refstack.run_count_tnf(ds["fq"], tnf_gz, k=TNFK,
+                                   min_len=MIN_LEN)
+
+    def parse(path):
+        rows = []
+        with gzip.open(path, "rt") as f:
+            for line in f:
+                rows.append([float(x) for x in
+                             line.rstrip("\n").split(",")[1:]])
+        return np.array(rows, np.float32)
+
+    abd = parse(kmer_gz)
+    tnf = parse(tnf_gz)
+    t_train = refstack.torch_train_seconds(abd, tnf, TRAIN_STEPS)
+    # count_kmer and count_tnf run concurrently in the reference
+    # (src/feature.py:28-39): charge max(), not sum()
+    t_feat = max(t_kmer, t_tnf)
+    return {"reads_per_s": ds["n_reads"] / (t_feat + t_train),
+            "t_kmer": t_kmer, "t_tnf": t_tnf, "t_train": t_train,
+            "n_reads": ds["n_reads"], "n_groups": abd.shape[0],
+            "steps": TRAIN_STEPS, "threads": os.cpu_count()}
 
 
 def _spawn(tag: str, flag: str, timeout: int) -> dict:
     env = dict(os.environ)
-    if flag == "--cpu-proxy":
-        env.pop("JAX_PLATFORMS", None)
+    if flag == "--reference-stack":
+        env["JAX_PLATFORMS"] = "cpu"  # no TPU involvement in the baseline
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), flag],
         capture_output=True, text=True, timeout=timeout, env=env)
-    line = [l for l in out.stdout.splitlines() if l.startswith(tag)][-1]
-    return json.loads(line[len(tag):])
+    lines = [l for l in out.stdout.splitlines() if l.startswith(tag)]
+    if not lines:
+        raise RuntimeError(
+            f"{flag} produced no result: {out.stderr[-800:]}")
+    return json.loads(lines[-1][len(tag):])
 
 
 def main():
-    if "--cpu-proxy" in sys.argv:
-        print("CPUPROXY " + json.dumps(run_measure(cpu_proxy=True)))
+    if "--device-compute" in sys.argv:
+        print("DEVICECOMPUTE " + json.dumps(run_device_compute()))
         return
-    if "--device-path" in sys.argv:
-        print("DEVICEPATH " + json.dumps(run_measure(cpu_proxy=False)))
+    if "--device-e2e" in sys.argv:
+        print("DEVICEE2E " + json.dumps(run_device_e2e()))
         return
-    # Both measurements run in child processes: a wedged TPU backend
+    if "--reference-stack" in sys.argv:
+        print("REFERENCESTACK " + json.dumps(run_reference_stack()))
+        return
+    # Dataset generation happens once here, outside the timed children.
+    prepare_dataset()
+    # All measurements run in child processes: a wedged TPU backend
     # (compute RPCs hanging) must not hang the whole bench.
-    note = None
-    dev_timeout = int(os.environ.get("BENCH_DEVICE_TIMEOUT", 1500))
+    note = []
+    dev_timeout = int(os.environ.get("BENCH_DEVICE_TIMEOUT", 2400))
+    e2e = comp = ref = None
     try:
-        dev = _spawn("DEVICEPATH ", "--device-path", dev_timeout)
-        reads_per_s = dev["reads_per_s"]
+        e2e = _spawn("DEVICEE2E ", "--device-e2e", dev_timeout)
     except Exception as e:
-        print(f"device path failed: {e}", file=sys.stderr)
-        dev = None
-        reads_per_s = 0.0
-        note = "tpu_unavailable"
+        print(f"device e2e failed: {e}", file=sys.stderr)
+        note.append("tpu_e2e_failed")
     try:
-        cpu = _spawn("CPUPROXY ", "--cpu-proxy", 1800)
-        vs = reads_per_s / cpu["reads_per_s"] if dev else None
+        comp = _spawn("DEVICECOMPUTE ", "--device-compute", dev_timeout)
     except Exception as e:
-        print(f"cpu proxy failed: {e}", file=sys.stderr)
-        vs = None
+        print(f"device compute failed: {e}", file=sys.stderr)
+        note.append("tpu_compute_failed")
+    try:
+        ref = _spawn("REFERENCESTACK ", "--reference-stack", 3600)
+    except Exception as e:
+        print(f"reference stack failed: {e}", file=sys.stderr)
+        note.append("ref_stack_failed")
+    value = e2e["reads_per_s"] if e2e else 0.0
+    vs = (value / ref["reads_per_s"]) if (e2e and ref) else None
     result = {
-        "metric": "feature_extract_plus_vae_binning_throughput",
-        "value": round(reads_per_s, 1),
+        "metric": "e2e_fastq_to_bins_throughput",
+        "value": round(value, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "device_compute_reads_per_s":
+            round(comp["reads_per_s"], 1) if comp else None,
+        "ref_stack_reads_per_s":
+            round(ref["reads_per_s"], 1) if ref else None,
+        "detail": {"e2e": e2e, "ref": ref},
+        "baseline_def": ("compiled reference count_kmer/count_tnf "
+                         "(concurrent, max) + torch VAE train steps on "
+                         f"{os.cpu_count()} host CPUs; jellyfish global "
+                         "count excluded (not installed; dump precomputed "
+                         "for both stacks)"),
     }
     if note:
-        result["note"] = note
+        result["note"] = ",".join(note)
     print(json.dumps(result))
 
 
