@@ -56,10 +56,13 @@ class FeatureConfig:
     # count within sortjoin_max_windows), else segsum on accelerators,
     # scatter on the CPU backend.
     hist_impl: str = "auto"
-    # Sort-join eligibility cap: total k-mer windows that may be held on
-    # the device at once (int32 key per window + sort workspace; 256M
-    # windows ~= 1 GiB of keys, ~5 GiB peak through the sort). Datasets
-    # estimated to exceed this use the streaming table path.
+    # Device window cap: k-mer windows held/sorted on the device at once
+    # (int32 key per window + sort workspace; 256M windows ~= 1 GiB of
+    # keys, ~5 GiB peak through the sort). Datasets beyond it still run
+    # sort-join: keys spill to host RAM and join one key-value range at a
+    # time (features._chunked_sortjoin_bins), each range within this cap.
+    # On the sharded extractor the cap scales with the mesh instead and
+    # overflow restarts on the key-range-sharded table path.
     sortjoin_max_windows: int = 256 * 1024 * 1024
 
 

@@ -40,7 +40,6 @@ from pangaea_tpu.kernels.encode import canonical_rank_lut, num_canonical_kmers
 from pangaea_tpu.kernels.features import (abundance_histogram,
                                           abundance_histogram_from_bins,
                                           abundance_histogram_segsum,
-                                          add_keys_to_table,
                                           batch_kmer_keys, count_kmers_global,
                                           kmer_key_sentinel,
                                           make_global_table, sortjoin_bins,
@@ -53,8 +52,10 @@ log = logging.getLogger(__name__)
 
 
 class SortJoinOverflow(RuntimeError):
-    """Dataset exceeded sortjoin_max_windows mid-stream; caller falls back
-    to the streaming global-table path."""
+    """Dataset exceeded sortjoin_max_windows mid-stream on an extractor
+    without host spill (the sharded extractor); the caller restarts on the
+    streaming global-table path. The single-device extractor never raises
+    this — it spills to the chunked host join instead."""
 
 
 class FeatureExtractor:
@@ -283,12 +284,17 @@ class FeatureExtractor:
             return True
         if jax.default_backend() == "cpu":
             return False  # CPU scatters are fast; sorts win on TPU
+        if self._host_spill:
+            # the chunked host-spill join removes the device window cap
+            # (the estimate now only picks the starting mode); matches
+            # count_kmer.cpp:186-292, which streams arbitrarily large
+            # inputs — the remaining bound is host RAM, as jellyfish's is
+            return True
         est_windows = self._estimate_stream_windows(interleaved)
         if est_windows is None:
             return False
         # 5% headroom: a wrong guess is not fatal (the mid-stream overflow
-        # falls back gracefully, re-reading once for abundance only) but
-        # still costs that re-read
+        # restart is graceful) but still costs the restart
         return est_windows * 21 // 20 <= c.sortjoin_max_windows
 
     def _estimate_stream_windows(self, interleaved: str) -> Optional[int]:
@@ -364,10 +370,11 @@ class FeatureExtractor:
             bug_compat=c.bug_compat_boundary_leak)
         return gp.groups_per_chunk, gp.iter_chunks(groups)
 
-    # ShardedFeatureExtractor keeps the restart-on-overflow path: its
-    # table is key-range sharded over the mesh, which the inline
-    # single-device scatter fallback below does not compose with.
-    _inline_table_fallback = True
+    # Sort-join past the device window cap spills keys to host RAM and
+    # joins one key-VALUE range at a time (VERDICT r1 item 4). The
+    # sharded extractor disables the spill: its cap already scales with
+    # the mesh, and its overflow restarts on the key-range-sharded table.
+    _host_spill = True
 
     def group_features_sortjoin(self, interleaved: str
                                 ) -> Tuple[np.ndarray, np.ndarray,
@@ -381,14 +388,13 @@ class FeatureExtractor:
         seg_ids to histogram the bins per barcode. The FASTQ is read once
         (the table path reads it twice).
 
-        If the window count crosses ``sortjoin_max_windows`` mid-stream
-        (the sampled estimate guessed low), the pass does NOT restart:
-        the collected keys fold into a dense global table
-        (``add_keys_to_table``), the remaining batches scatter into it as
-        they stream, TNF keeps accumulating, and only the abundance
-        histogram needs one extra read of the stream at the end
-        (``_abundance_from_table``). k > 15 has no dense table, so it
-        still raises :class:`SortJoinOverflow`.
+        Datasets whose window set exceeds ``sortjoin_max_windows`` run the
+        same join CHUNKED: phase-A keys spill to host RAM (decided upfront
+        by the sampled estimate, or mid-stream on overflow — either way
+        the stream is still read once) and phase B becomes
+        :meth:`_chunked_sortjoin_bins`, which partitions the keys by key
+        value so every range fits the device cap and joins each range
+        independently and exactly.
         """
         import jax
         from pangaea_tpu.io.prefetch import prefetch
@@ -396,73 +402,80 @@ class FeatureExtractor:
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
         G, chunks = self._sortjoin_chunks(interleaved)
-        keys_parts: List[Tuple[jnp.ndarray, ...]] = []
-        chunk_meta = []  # (names, [seg_ids] | None, thist)
+        spill = False
+        if self._host_spill:
+            est = self._estimate_stream_windows(interleaved)
+            if est is not None and est * 21 // 20 > c.sortjoin_max_windows:
+                log.info("sort-join host-spill mode: ~%d windows > device "
+                         "cap %d", est, c.sortjoin_max_windows)
+                spill = True
+        keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
+        chunk_meta = []  # (names, [seg_ids], thist)
         total = 0
-        table = None  # engaged by the overflow fallback
         for chunk in prefetch(chunks):
             thist = jnp.zeros((G, ncols), jnp.int32)
-            segs = [] if table is None else None
+            segs = []
             for b in chunk.batches:
                 codes, lengths, seg, cont = self._device_batch(b)
-                if table is None:
-                    keys_parts.append(self._batch_keys(codes, lengths,
-                                                       cont))
-                    total += keys_parts[-1][0].shape[0]
-                    segs.append(seg)
-                else:
-                    table = add_keys_to_table(
-                        table, batch_kmer_keys(codes, lengths, cont,
-                                               k=c.kmer, overlap=overlap))
+                part = self._batch_keys(codes, lengths, cont)
+                if spill:
+                    part = tuple(np.asarray(w) for w in part)
+                keys_parts.append(part)
+                total += part[0].shape[0]
+                segs.append(seg)
                 thist = tnf_histogram_segsum(
                     thist, codes, lengths, seg, cont, k=c.tnf_kmer,
                     num_cols=ncols, overlap=overlap, n_groups=G)
             chunk_meta.append((chunk.names, segs, thist))
             log.info("sortjoin pass A: %d barcodes, %d windows",
                      sum(len(m[0]) for m in chunk_meta), total)
-            if table is None and total > c.sortjoin_max_windows:
-                if c.kmer > 15 or not self._inline_table_fallback:
+            if not spill and total > c.sortjoin_max_windows:
+                if not self._host_spill:
                     raise SortJoinOverflow(
                         f"{total} windows > sortjoin_max_windows="
                         f"{c.sortjoin_max_windows}")
                 log.warning(
-                    "sort-join overflow (%d windows > cap %d); folding "
-                    "collected keys into the dense table and continuing "
-                    "(TNF needs no re-read; abundance re-reads once)",
+                    "sort-join overflow (%d windows > cap %d); spilling "
+                    "collected keys to host RAM and continuing chunked "
+                    "(the stream is still read only once)",
                     total, c.sortjoin_max_windows)
-                table = make_global_table(c.kmer)
-                for part in keys_parts:
-                    table = add_keys_to_table(table, part[0])
-                keys_parts = []
-                chunk_meta = [(n, None, t) for n, _s, t in chunk_meta]
-        if table is not None:
-            return self._finish_sortjoin_overflow(table, interleaved, G,
-                                                  chunk_meta, ncols)
+                keys_parts = [tuple(np.asarray(w) for w in t)
+                              for t in keys_parts]
+                spill = True
         if not chunk_meta or total == 0:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
         per_batch = keys_parts[0][0].shape[0]
-        npad = self._sortjoin_pad_size(total)
-        if npad > total:
-            keys_parts.append(self._sortjoin_pad_tuple(npad - total))
-        nwords = len(keys_parts[0])
-        keys = tuple(jnp.concatenate([p[i] for p in keys_parts])
-                     for i in range(nwords))
-        del keys_parts
         rows = c.reads_per_batch
         wrow = per_batch // rows
-        bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow)
-        del keys
+        if spill:
+            bins_host = self._chunked_sortjoin_bins(keys_parts)
+            del keys_parts
+
+            def bins_at(off):
+                return jnp.asarray(bins_host[off:off + per_batch])
+        else:
+            npad = self._sortjoin_pad_size(total)
+            if npad > total:
+                keys_parts.append(self._sortjoin_pad_tuple(npad - total))
+            nwords = len(keys_parts[0])
+            keys = tuple(jnp.concatenate([p[i] for p in keys_parts])
+                         for i in range(nwords))
+            del keys_parts
+            bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow)
+            del keys
+
+            def bins_at(off):
+                return jax.lax.dynamic_slice(bins, (off,), (per_batch,))
         names: List[str] = []
         abd_rows, tnf_rows = [], []
         off = 0
         for cnames, segs, thist in chunk_meta:
             hist = jnp.zeros((G, c.vector_size), jnp.int32)
             for seg in segs:
-                bslice = jax.lax.dynamic_slice(bins, (off,), (per_batch,))
                 hist = abundance_histogram_from_bins(
-                    hist, bslice.reshape(rows, wrow), seg,
+                    hist, bins_at(off).reshape(rows, wrow), seg,
                     vector_size=c.vector_size, n_groups=G)
                 off += per_batch
             g = len(cnames)
@@ -477,82 +490,90 @@ class FeatureExtractor:
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
 
-    def _finish_sortjoin_overflow(self, table, interleaved: str, G: int,
-                                  chunk_meta, ncols: int
-                                  ) -> Tuple[np.ndarray, np.ndarray,
-                                             np.ndarray]:
-        """Assemble results after the inline overflow fallback: TNF comes
-        from the (completed) phase-A accumulators, abundance from one
-        table-lookup re-read of the stream."""
-        c = self.cfg
-        names: List[str] = []
-        tnf_rows = []
-        for cnames, _segs, thist in chunk_meta:
-            g = len(cnames)
-            names += list(cnames)
-            tnf_rows.append(np.asarray(thist)[:g])
-        abd_names, abd = self._abundance_from_table(table, interleaved, G)
-        del table
-        if not names:
-            return (np.array([], dtype=object),
-                    np.zeros((0, c.vector_size), np.int32),
-                    np.zeros((0, ncols), np.int32))
-        names_arr = np.array(names)
-        # same grouping rules both passes -> identical group sequence
-        assert np.array_equal(names_arr, abd_names)
-        log.info("sortjoin overflow fallback done: %d barcodes", len(names))
-        return names_arr, abd, np.concatenate(tnf_rows)
+    def _chunked_sortjoin_bins(self, host_parts: List[Tuple[np.ndarray, ...]]
+                               ) -> np.ndarray:
+        """Exact sort-join over host-resident keys, one key-VALUE range at
+        a time, each range within ``sortjoin_max_windows``.
 
-    def _abundance_from_table(self, table, interleaved: str, G: int
-                              ) -> Tuple[np.ndarray, np.ndarray]:
-        """Abundance-only group pass against a dense global table — the
-        overflow fallback's single re-read (TNF never re-reads)."""
-        from pangaea_tpu.io.prefetch import prefetch
+        Partitioning by key value means equal keys always share a range,
+        so per-range joins are independent and exact — no cross-range
+        merge. Every window is still sorted exactly twice (the same device
+        sort volume as the single-pass path); the extra costs are the host
+        counting partition (O(N) numpy) and one extra host<->device round
+        trip of ~8 bytes/window. Range boundaries come from quantiles of a
+        <=1M-key sample, so ranges balance even though canonical-key
+        density is 2x mean at the low end of the key space; exact range
+        sizes are then verified by bincount, and all ranges pad to one
+        shared shape (a single extra XLA compilation). A hot key with more
+        instances than the cap cannot be split (its range just runs
+        larger, with a warning) — the join is still exact.
+
+        Returns per-window abundance bins in stream order (-1 = masked or
+        out-of-range), matching :func:`sortjoin_bins` semantics.
+        """
         c = self.cfg
-        overlap = c.kmer - 1
-        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
-                         overlap=overlap, reads_per_batch=c.reads_per_batch)
-        use_native = False
-        if c.bug_compat_boundary_leak:
-            try:
-                from pangaea_tpu.native import native_available
-                use_native = native_available()
-            except Exception:
-                pass
-        if use_native:
-            from pangaea_tpu.io.fast_packing import native_group_chunks
-            chunks = native_group_chunks(
-                interleaved, c.min_length, self.row_len,
-                c.reads_per_batch, gp.groups_per_chunk)
+        nw = len(host_parts[0])
+        if nw == 1:
+            sent = np.int32(kmer_key_sentinel(c.kmer))
+            v = np.concatenate([p[0] for p in host_parts])
         else:
-            groups = iter_barcode_groups(
-                iter_read_pairs_interleaved(interleaved),
-                bug_compat=c.bug_compat_boundary_leak)
-            chunks = gp.iter_chunks(groups)
-        segsum = use_segsum_impl(c.hist_impl)
-        names: List[str] = []
-        abd_rows = []
-        for chunk in prefetch(chunks):
-            hist = (jnp.zeros((G, c.vector_size), jnp.int32) if segsum
-                    else jnp.zeros(G * c.vector_size, jnp.int32))
-            for b in chunk.batches:
-                args = self._device_batch(b)
-                if segsum:
-                    hist = abundance_histogram_segsum(
-                        hist, table, *args, k=c.kmer, window=c.window_size,
-                        vector_size=c.vector_size, overlap=overlap,
-                        n_groups=G)
-                else:
-                    hist = abundance_histogram(
-                        hist, table, *args, k=c.kmer, window=c.window_size,
-                        vector_size=c.vector_size, overlap=overlap)
-            g = chunk.num_groups
-            names += chunk.names
-            abd_rows.append(np.asarray(hist).reshape(G, c.vector_size)[:g])
-        if not names:
-            return (np.array([], dtype=object),
-                    np.zeros((0, c.vector_size), np.int32))
-        return np.array(names), np.concatenate(abd_rows)
+            from pangaea_tpu.kernels.features import kmer_key_sentinel_pair
+            shi, slo = kmer_key_sentinel_pair(c.kmer)
+            sent = (np.uint64(shi) << np.uint64(32)) | np.uint64(slo)
+            v = np.concatenate(
+                [(p[0].astype(np.uint64) << np.uint64(32))
+                 | p[1].astype(np.uint64) for p in host_parts])
+        N = v.shape[0]
+        bins_all = np.full(N, -1, np.int32)
+        valid = v < sent
+        nval = int(valid.sum())
+        if nval == 0:
+            return bins_all
+        cap = c.sortjoin_max_windows
+        nparts = max(1, -(-nval // cap))
+        if nparts > 1:
+            step = max(1, nval // 1_000_000)
+            sample = np.sort(v[valid][::step])
+            qpos = (np.arange(1, nparts) * len(sample)) // nparts
+            bounds = np.unique(sample[qpos])
+        else:
+            bounds = np.empty(0, v.dtype)
+        inval_digit = len(bounds) + 1
+        dt = np.uint8 if inval_digit < 255 else np.int32
+        digits = np.searchsorted(bounds, v, side="right").astype(dt)
+        digits[~valid] = inval_digit
+        counts = np.bincount(digits, minlength=inval_digit + 1)[:inval_digit]
+        # stable integer argsort is a radix pass: this IS the partition
+        order = np.argsort(digits, kind="stable")
+        del digits
+        pad_n = sortjoin_pad_size(int(counts.max()))
+        if counts.max() > cap:
+            log.warning(
+                "chunked sort-join: a key range holds %d windows > cap %d "
+                "(hot keys cannot split across ranges); running one "
+                "larger sort", int(counts.max()), cap)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for p in range(len(counts)):
+            idx = order[starts[p]:starts[p + 1]]
+            if idx.size == 0:
+                continue
+            kv = v[idx]
+            if nw == 1:
+                w0 = np.full(pad_n, sent, np.int32)
+                w0[:kv.size] = kv
+                words = (w0,)
+            else:
+                hi = np.full(pad_n, np.uint32(shi), np.uint32)
+                lo = np.full(pad_n, np.uint32(slo), np.uint32)
+                hi[:kv.size] = (kv >> np.uint64(32)).astype(np.uint32)
+                lo[:kv.size] = (kv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                words = (hi, lo)
+            binsp = np.asarray(self._sortjoin_bins_dispatch(
+                tuple(jnp.asarray(w) for w in words), row_windows=None))
+            bins_all[idx] = binsp[:kv.size]
+            log.info("chunked sort-join: range %d/%d (%d windows) joined",
+                     p + 1, len(counts), int(kv.size))
+        return bins_all
 
     def _sortjoin_pad_size(self, total: int) -> int:
         """Padded sort length (sharded twin rounds to the mesh size)."""

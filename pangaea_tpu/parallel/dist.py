@@ -338,9 +338,10 @@ class ShardedFeatureExtractor(FeatureExtractor):
     """FeatureExtractor whose device batches shard rows over the mesh."""
 
     # overflow restarts on the sharded table path: the base class's
-    # inline fallback scatters into a single-device dense table, which
-    # does not compose with this class's key-range-sharded counter
-    _inline_table_fallback = False
+    # host-spill chunked join runs single-device range sorts, which do
+    # not compose with this class's mesh-routed sort-join (its cap
+    # already scales with the mesh; see sortjoin_eligible below)
+    _host_spill = False
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)

@@ -207,11 +207,23 @@ def allreduce_table(table) -> "jax.Array":  # noqa: F821
 
 
 def allgather_rows(local: np.ndarray) -> np.ndarray:
-    """Concatenate per-process row blocks (latent/barcode gather before
-    clustering). No-op with one process."""
+    """Concatenate per-process row blocks in process order (latent gather
+    before clustering). Blocks may be RAGGED — hosts hold different
+    barcode counts — so row counts are gathered first and each block is
+    padded to the max before the gather, then trimmed back. No-op with
+    one process."""
     import jax
+    local = np.asarray(local)
     if jax.process_count() == 1:
-        return np.asarray(local)
+        return local
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(np.asarray(local))
-    return np.concatenate(list(gathered), axis=0)
+    counts = multihost_utils.process_allgather(
+        np.asarray(local.shape[0], np.int64))
+    m = int(counts.max())
+    if m > local.shape[0]:
+        pad = np.zeros((m - local.shape[0],) + local.shape[1:],
+                       local.dtype)
+        local = np.concatenate([local, pad], axis=0)
+    gathered = multihost_utils.process_allgather(local)
+    return np.concatenate([g[:c] for g, c in zip(gathered, counts)],
+                          axis=0)

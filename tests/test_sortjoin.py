@@ -172,8 +172,8 @@ def test_feature_extractor_sortjoin_equivalence(tmp_path):
 
 
 def test_sortjoin_overflow_falls_back(tmp_path):
-    """A dataset over the window cap falls back to the table path and
-    still produces identical features."""
+    """A dataset over the device window cap runs the chunked host-spill
+    join and still produces identical features."""
     from pangaea_tpu.io.sim import simulate_linked_reads
     fq = str(tmp_path / "sim.fq.gz")
     simulate_linked_reads(
@@ -196,9 +196,9 @@ def test_sortjoin_overflow_falls_back(tmp_path):
 
 
 def test_sortjoin_overflow_single_reread(tmp_path, monkeypatch):
-    """Mid-stream overflow keeps the TNF accumulation (zero re-reads) and
-    re-reads the stream exactly once for abundance: two passes total over
-    the FASTQ, not the three a full restart would cost."""
+    """Over-cap datasets spill keys to host and join chunked: the FASTQ is
+    still read exactly ONCE (the old table fallback re-read it for
+    abundance; a full restart would read it three times)."""
     import pangaea_tpu.features as fmod
     import pangaea_tpu.native as nat
     from pangaea_tpu.io.sim import simulate_linked_reads
@@ -221,7 +221,7 @@ def test_sortjoin_overflow_single_reread(tmp_path, monkeypatch):
                         sortjoin_max_windows=100)  # force overflow
     fe = FeatureExtractor(cfg, str(tmp_path / "ovf"))
     n1, a1, t1 = fe.extract_features(interleaved=fq)
-    assert len(opens) == 2, opens  # phase A + abundance-only re-read
+    assert len(opens) == 1, opens  # single streaming pass, even over-cap
     cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
                          max_read_len=64, reads_per_batch=32,
                          hist_impl="scatter", min_qual_char=None)
@@ -519,3 +519,92 @@ def test_sortjoin_pad_size_properties():
         else:
             assert p % q == 0 and p - n < q
             assert (p - n) / n < 0.03 or n < 32 * q
+
+
+def test_chunked_sortjoin_multirange_matches_scatter(tmp_path):
+    """A cap small enough to force MANY key-value ranges through
+    _chunked_sortjoin_bins still reproduces the scatter path exactly
+    (each range joins independently; equal keys share a range)."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=3, genome_len=6_000, n_barcodes=12,
+        pairs_per_barcode=6, read_len=48, seed=13)
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=32,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=700)
+    fe = FeatureExtractor(cfg, str(tmp_path / "chunked"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_chunked_sortjoin_midstream_spill(tmp_path, monkeypatch):
+    """When the upfront estimate lowballs, the spill engages MID-STREAM
+    (already-collected device keys move to host) and the result is still
+    exact with a single read of the stream."""
+    import pangaea_tpu.features as fmod
+    import pangaea_tpu.native as nat
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=8,
+        pairs_per_barcode=5, read_len=40, seed=7)
+    # lie: pretend the stream is tiny so spill does NOT engage upfront
+    monkeypatch.setattr(fmod.FeatureExtractor, "_estimate_stream_windows",
+                        lambda self, path: 10)
+    monkeypatch.setattr(nat, "native_available", lambda: False)
+    opens = []
+    real_iter = fmod.iter_read_pairs_interleaved
+
+    def counting_iter(path):
+        opens.append(path)
+        return real_iter(path)
+
+    monkeypatch.setattr(fmod, "iter_read_pairs_interleaved", counting_iter)
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=32,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=2000)
+    fe = FeatureExtractor(cfg, str(tmp_path / "mid"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    assert len(opens) == 1, opens
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_chunked_sortjoin_large_k_split_word(tmp_path):
+    """15 < k <= 31 over the cap: split-word (hi, lo) keys spill as one
+    packed uint64 per window and chunk by 64-bit key value. Baseline =
+    the same k with an uncapped single sort (itself byte-parity-pinned
+    vs the reference binary at k=21 in test_reference_parity.py)."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=5_000, n_barcodes=10,
+        pairs_per_barcode=5, read_len=48, seed=23)
+    k = 21
+    base = dict(kmer=k, tnf_kmer=4, min_length=100, max_read_len=64,
+                reads_per_batch=32, hist_impl="sortjoin",
+                min_qual_char=None)
+    fe1 = FeatureExtractor(FeatureConfig(**base, sortjoin_max_windows=600),
+                           str(tmp_path / "chunked"))
+    n1, a1, t1 = fe1.extract_features(interleaved=fq)
+    fe2 = FeatureExtractor(FeatureConfig(**base), str(tmp_path / "one"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
