@@ -185,3 +185,144 @@ def exact_overlap_trim(seq: str, k: int = 31, min_overlap: int = 2_000,
             break  # first hit in the window = largest L
         pos = seq.find(anchor, pos + 1)
     return best
+
+
+# ---- builtin exact-anchor aligner (nucmer/minimap2 floor) -----------------
+#
+# Lathe maps its "reads" (Pangaea passes the pooled CONTIGS fasta,
+# merge_asm.sh:38) to the candidate genome and later aligns the
+# flye-assembled spanner back to it (Snakefile:36-49,68-105). When the
+# external aligners are absent, these functions provide the floor: exact
+# k-mer anchors chained by diagonal into alignment blocks. Exact-seed
+# chaining is a real aligner for the near-identical sequences this stage
+# compares (a contig vs pieces assembled FROM it); it is NOT a general
+# aligner and is clearly logged as the builtin path by the caller.
+
+_ACGT_LUT = None
+
+
+def _kmer_positions(seq: str, k: int):
+    """(values, positions) of every N-free k-mer window, 2-bit encoded
+    into uint64 (k <= 31)."""
+    import numpy as np
+    global _ACGT_LUT
+    if _ACGT_LUT is None:
+        lut = np.full(256, 4, np.uint8)
+        for i, b in enumerate(b"ACTG"):
+            lut[b] = i
+        for i, b in enumerate(b"actg"):
+            lut[b] = i
+        _ACGT_LUT = lut
+    codes = _ACGT_LUT[np.frombuffer(seq.encode("ascii"), np.uint8)]
+    n = len(codes)
+    if n < k:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    W = n - k + 1
+    acc = np.zeros(W, np.uint64)
+    bad = (codes >= 4)
+    nbad = np.cumsum(bad)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | codes[j:j + W].astype(np.uint64)
+    ok = (nbad[k - 1:] - np.concatenate([[0], nbad[:W - 1]])) == 0
+    pos = np.flatnonzero(ok)
+    return acc[pos], pos
+
+
+def _revcomp_str(seq: str) -> str:
+    tr = str.maketrans("ACGTacgt", "TGCAtgca")
+    return seq.translate(tr)[::-1]
+
+
+def anchor_hits(t_vals, t_pos, q_seq: str, k: int, max_occ: int = 4):
+    """(q_positions, r_positions) of exact shared k-mers. t_vals must be
+    value-sorted with t_pos aligned. A k-mer occurring at several target
+    loci yields a hit per locus (capped at ``max_occ``) — an
+    over-circularized contig duplicates its terminal sequence, and the
+    spanner must anchor to BOTH copies for the trim diagonal to form
+    (spancircle.py's overlap test)."""
+    import numpy as np
+    q_vals, q_pos = _kmer_positions(q_seq, k)
+    if len(q_vals) == 0 or len(t_vals) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    lo = np.searchsorted(t_vals, q_vals, side="left")
+    hi = np.searchsorted(t_vals, q_vals, side="right")
+    cnt = np.minimum(hi - lo, max_occ)
+    m = cnt > 0
+    q_pos, lo, cnt = q_pos[m], lo[m], cnt[m]
+    out_q = np.repeat(q_pos, cnt)
+    # lo[i], lo[i]+1, ..., lo[i]+cnt[i]-1 for each hit group
+    offs = np.arange(len(out_q)) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    out_r = t_pos[np.repeat(lo, cnt) + offs]
+    return out_q, out_r
+
+
+def target_index(seq: str, k: int = 21):
+    """Value-sorted k-mer values + aligned positions of seq (all
+    occurrences kept; anchor_hits caps per-k-mer fan-out)."""
+    import numpy as np
+    vals, pos = _kmer_positions(seq, k)
+    order = np.argsort(vals, kind="stable")
+    return vals[order], pos[order]
+
+
+def anchor_chain_coords(t_name: str, t_seq: str, q_name: str, q_seq: str,
+                        k: int = 21, min_block: int = 1_000,
+                        max_gap: int = 200) -> List[CoordRow]:
+    """Alignment blocks of q against t as show-coords-style rows.
+
+    Exact k-mer anchors are grouped by diagonal (r_pos - q_pos) and
+    chained while consecutive anchors sit on the same diagonal within
+    ``max_gap``; chains spanning >= min_block become rows. Both
+    orientations are scanned; reverse hits report descending query
+    coordinates (the nucmer inversion convention that encircle.py keys
+    on). Rows are sorted by (q_name asc, q_start asc) like
+    ``show-coords -Tq`` (Snakefile:92)."""
+    import numpy as np
+    t_vals, t_pos = target_index(t_seq, k)
+    rows: List[CoordRow] = []
+    qlen, tlen = len(q_seq), len(t_seq)
+    for rc in (False, True):
+        q = _revcomp_str(q_seq) if rc else q_seq
+        qp, rp = anchor_hits(t_vals, t_pos, q, k)
+        if len(qp) == 0:
+            continue
+        diag = rp - qp
+        order = np.lexsort((qp, diag))
+        qp, rp, diag = qp[order], rp[order], diag[order]
+        brk = np.flatnonzero((np.diff(diag) != 0)
+                             | (np.diff(qp) > max_gap)) + 1
+        for lo, hi in zip(np.concatenate([[0], brk]),
+                          np.concatenate([brk, [len(qp)]])):
+            q0, q1 = int(qp[lo]), int(qp[hi - 1])
+            r0, r1 = int(rp[lo]), int(rp[hi - 1])
+            if q1 + k - q0 < min_block:
+                continue
+            if rc:  # back to original query coordinates, descending
+                qs, qe = qlen - q0, qlen - (q1 + k) + 1
+            else:
+                qs, qe = q0 + 1, q1 + k
+            rows.append(CoordRow(r0 + 1, r1 + k, qs, qe, tlen, qlen,
+                                 t_name, q_name))
+    rows.sort(key=lambda r: (r.q_name, min(r.q_start, r.q_end)))
+    return rows
+
+
+def terminal_read_names(t_seq: str, reads, window: int = 50_000,
+                        k: int = 21, min_anchors: int = 8) -> List[str]:
+    """Names of reads anchored in the first/last ``window`` bases of
+    t_seq (Lathe circularize_bam2reads, Snakefile:36-49: samtools view of
+    the two terminal regions). ``reads`` yields (name, seq); either
+    orientation counts."""
+    termini = t_seq[:window] + ("N" * 64) + t_seq[-window:]
+    t_vals, t_pos = target_index(termini, k)
+    out = []
+    for name, seq in reads:
+        hits = 0
+        for rc in (False, True):
+            q = _revcomp_str(seq) if rc else seq
+            qp, _rp = anchor_hits(t_vals, t_pos, q, k)
+            hits = max(hits, len(qp))
+        if hits >= min_anchors:
+            out.append(name)
+    return out
