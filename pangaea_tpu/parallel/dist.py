@@ -206,21 +206,27 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
         counts = ends - starts
         overflow = jnp.sum(jnp.maximum(counts - cap, 0))
         # contiguous dynamic slices (buckets are runs of the dest-sorted
-        # array — no per-element gather anywhere on this path)
+        # array — no per-element gather anywhere on this path). Total
+        # moved data is n_dev * cap ~= capacity_factor * n_local
+        # regardless of mesh size; lax.map keeps the PROGRAM size
+        # mesh-independent too (an unrolled loop would grow the HLO and
+        # compile time linearly with n_dev)
         kpad = jnp.concatenate([rkeys, jnp.full(cap, sentinel, jnp.int32)])
         cpad = jnp.concatenate([rcnt, jnp.zeros(cap, jnp.int32)])
         lane = jnp.arange(cap, dtype=jnp.int32)
-        bk, bc = [], []
-        for d in range(n_dev):
+
+        def make_bucket(d):
             take = lane < counts[d]
-            bk.append(jnp.where(
-                take, jax.lax.dynamic_slice(kpad, (starts[d],), (cap,)),
-                sentinel))
-            bc.append(jnp.where(
-                take, jax.lax.dynamic_slice(cpad, (starts[d],), (cap,)), 0))
-        recv_k = jax.lax.all_to_all(jnp.stack(bk), "data", split_axis=0,
+            kk = jnp.where(take, jax.lax.dynamic_slice(
+                kpad, (starts[d],), (cap,)), sentinel)
+            cc = jnp.where(take, jax.lax.dynamic_slice(
+                cpad, (starts[d],), (cap,)), 0)
+            return kk, cc
+
+        bk, bc = jax.lax.map(make_bucket, jnp.arange(n_dev))
+        recv_k = jax.lax.all_to_all(bk, "data", split_axis=0,
                                     concat_axis=0, tiled=True)
-        recv_c = jax.lax.all_to_all(jnp.stack(bc), "data", split_axis=0,
+        recv_c = jax.lax.all_to_all(bc, "data", split_axis=0,
                                     concat_axis=0, tiled=True)
         rbins = _sortjoin_bins_weighted(recv_k.ravel(), recv_c.ravel(),
                                         k, window, vector_size)
@@ -230,10 +236,15 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
         # (ascending d: bucket d's masked tail spills -1 into d+1's region,
         # which d+1's own write then covers; the last spill lands in the
         # unrouted tail, where -1 is the right placeholder)
-        out = jnp.full(n_local + cap, -1, jnp.int32)
-        for d in range(n_dev):
+        def put_bucket(d, acc):
             piece = jnp.where(lane < counts[d], back[d], -1)
-            out = jax.lax.dynamic_update_slice(out, piece, (starts[d],))
+            return jax.lax.dynamic_update_slice(acc, piece, (starts[d],))
+
+        # mark the carry as device-varying: inside shard_map a literal
+        # init is 'unvarying' and fori_loop requires carry types to match
+        init = jax.lax.pcast(jnp.full(n_local + cap, -1, jnp.int32),
+                             ("data",), to="varying")
+        out = jax.lax.fori_loop(0, n_dev, put_bucket, init)
         # back to key-sorted order: run starts now hold their run's bin
         _, kb = jax.lax.sort((rpos, out[:n_local]), num_keys=1)
         # segmented fill-forward: every element inherits its run start's
@@ -298,29 +309,33 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
         lpad = jnp.concatenate([rlo, jnp.full(cap, sent_lo, jnp.uint32)])
         cpad = jnp.concatenate([rcnt, jnp.zeros(cap, jnp.int32)])
         lane = jnp.arange(cap, dtype=jnp.int32)
-        bh, bl, bc = [], [], []
-        for d in range(n_dev):
+        def make_bucket(d):
             take = lane < counts[d]
-            bh.append(jnp.where(
-                take, jax.lax.dynamic_slice(hpad, (starts[d],), (cap,)),
-                sent_hi))
-            bl.append(jnp.where(
-                take, jax.lax.dynamic_slice(lpad, (starts[d],), (cap,)),
-                sent_lo))
-            bc.append(jnp.where(
-                take, jax.lax.dynamic_slice(cpad, (starts[d],), (cap,)), 0))
+            hh = jnp.where(take, jax.lax.dynamic_slice(
+                hpad, (starts[d],), (cap,)), sent_hi)
+            ll = jnp.where(take, jax.lax.dynamic_slice(
+                lpad, (starts[d],), (cap,)), sent_lo)
+            cc = jnp.where(take, jax.lax.dynamic_slice(
+                cpad, (starts[d],), (cap,)), 0)
+            return hh, ll, cc
+
+        bh, bl, bc = jax.lax.map(make_bucket, jnp.arange(n_dev))
         a2a = functools.partial(jax.lax.all_to_all, axis_name="data",
                                 split_axis=0, concat_axis=0, tiled=True)
-        recv_h, recv_l, recv_c = (a2a(jnp.stack(x))
-                                  for x in (bh, bl, bc))
+        recv_h, recv_l, recv_c = (a2a(x) for x in (bh, bl, bc))
         rbins = _sortjoin_bins_weighted_pair(
             recv_h.ravel(), recv_l.ravel(), recv_c.ravel(), k, window,
             vector_size)
         back = a2a(rbins.reshape(n_dev, cap))
-        out = jnp.full(n_local + cap, -1, jnp.int32)
-        for d in range(n_dev):
+        def put_bucket(d, acc):
             piece = jnp.where(lane < counts[d], back[d], -1)
-            out = jax.lax.dynamic_update_slice(out, piece, (starts[d],))
+            return jax.lax.dynamic_update_slice(acc, piece, (starts[d],))
+
+        # mark the carry as device-varying: inside shard_map a literal
+        # init is 'unvarying' and fori_loop requires carry types to match
+        init = jax.lax.pcast(jnp.full(n_local + cap, -1, jnp.int32),
+                             ("data",), to="varying")
+        out = jax.lax.fori_loop(0, n_dev, put_bucket, init)
         _, kb = jax.lax.sort((rpos, out[:n_local]), num_keys=1)
         _, filled = jax.lax.associative_scan(
             lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
