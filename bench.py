@@ -250,6 +250,11 @@ def run_reference_stack() -> dict:
     """The compiled reference binaries + torch VAE on the same dataset."""
     import gzip
     import tempfile
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md);
+    # force CPU via jax.config so a cold prepare_dataset() in this child
+    # cannot touch (or hang on) the TPU backend
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from tools import refstack
 
     if not refstack.build_ref_tools():

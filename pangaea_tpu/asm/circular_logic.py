@@ -198,34 +198,8 @@ def exact_overlap_trim(seq: str, k: int = 31, min_overlap: int = 2_000,
 # compares (a contig vs pieces assembled FROM it); it is NOT a general
 # aligner and is clearly logged as the builtin path by the caller.
 
-_ACGT_LUT = None
-
-
-def _kmer_positions(seq: str, k: int):
-    """(values, positions) of every N-free k-mer window, 2-bit encoded
-    into uint64 (k <= 31)."""
-    import numpy as np
-    global _ACGT_LUT
-    if _ACGT_LUT is None:
-        lut = np.full(256, 4, np.uint8)
-        for i, b in enumerate(b"ACTG"):
-            lut[b] = i
-        for i, b in enumerate(b"actg"):
-            lut[b] = i
-        _ACGT_LUT = lut
-    codes = _ACGT_LUT[np.frombuffer(seq.encode("ascii"), np.uint8)]
-    n = len(codes)
-    if n < k:
-        return (np.empty(0, np.uint64), np.empty(0, np.int64))
-    W = n - k + 1
-    acc = np.zeros(W, np.uint64)
-    bad = (codes >= 4)
-    nbad = np.cumsum(bad)
-    for j in range(k):
-        acc = (acc << np.uint64(2)) | codes[j:j + W].astype(np.uint64)
-    ok = (nbad[k - 1:] - np.concatenate([[0], nbad[:W - 1]])) == 0
-    pos = np.flatnonzero(ok)
-    return acc[pos], pos
+from pangaea_tpu.kernels.encode import kmer_positions_np as \
+    _kmer_positions  # shared host-side windowing (kernels/encode.py)
 
 
 def _revcomp_str(seq: str) -> str:

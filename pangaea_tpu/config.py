@@ -56,6 +56,12 @@ class FeatureConfig:
     # count within sortjoin_max_windows), else segsum on accelerators,
     # scatter on the CPU backend.
     hist_impl: str = "auto"
+    # Host->device code-matrix transfer packing: 'auto' (on for
+    # accelerator backends, off for CPU where there is no transfer to
+    # save), 'on', or 'off'. Codes travel 2-bit packed plus a 1-bit
+    # invalid mask (2.67x less traffic) and are unpacked on-device by
+    # cheap VPU shifts; byte-equality with unpacked transfers is tested.
+    pack_transfers: str = "auto"
     # Device window cap: k-mer windows held/sorted on the device at once
     # (int32 key per window + sort workspace; 256M windows ~= 1 GiB of
     # keys, ~5 GiB peak through the sort). Datasets beyond it still run

@@ -27,6 +27,7 @@ import logging
 import os
 from typing import Iterator, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,31 @@ from pangaea_tpu.kernels.features import (abundance_histogram,
                                           use_segsum_impl)
 
 log = logging.getLogger(__name__)
+
+
+def pack_codes_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(R, L) uint8 base codes (0-3 = base, >=4 = N/pad) -> 2-bit packed
+    (R, L//4) + invalid bitmask (R, L//8), for 8x3/8 = 2.67x smaller
+    host->device transfers. L must be a multiple of 8 (row widths are)."""
+    invalid = codes >= 4
+    safe = np.where(invalid, 0, codes).astype(np.uint8)
+    packed = (safe[:, 0::4] | (safe[:, 1::4] << 2)
+              | (safe[:, 2::4] << 4) | (safe[:, 3::4] << 6))
+    mask = np.packbits(invalid, axis=1, bitorder="little")
+    return packed, mask
+
+
+@jax.jit
+def _unpack_codes(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_codes_host` (cheap VPU
+    shifts; the unpacked (R, L) uint8 array lives in HBM exactly as an
+    unpacked transfer would, so every consumer is unchanged)."""
+    R, Q = packed.shape
+    codes = jnp.stack([(packed >> (2 * j)) & 3 for j in range(4)],
+                      axis=-1).reshape(R, Q * 4).astype(jnp.uint8)
+    bits = jnp.stack([(mask >> j) & 1 for j in range(8)],
+                     axis=-1).reshape(R, Q * 4)
+    return jnp.where(bits != 0, jnp.uint8(4), codes)
 
 
 class SortJoinOverflow(RuntimeError):
@@ -187,7 +213,7 @@ class FeatureExtractor:
         n = 0
         for b in prefetch(self._global_batches(reads1, reads2, interleaved)):
             table = count_kmers_global(
-                table, jnp.asarray(b.codes), jnp.asarray(b.lengths),
+                table, self._device_codes(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.cont), k=c.kmer, overlap=c.kmer - 1)
             n += b.codes.shape[0]
             if n % (50 * c.reads_per_batch) == 0:
@@ -295,7 +321,7 @@ class FeatureExtractor:
             return False
         # 5% headroom: a wrong guess is not fatal (the mid-stream overflow
         # restart is graceful) but still costs the restart
-        return est_windows * 21 // 20 <= c.sortjoin_max_windows
+        return est_windows * 21 // 20 <= self._sortjoin_window_cap()
 
     def _estimate_stream_windows(self, interleaved: str) -> Optional[int]:
         """Sorted-window count the sort-join would produce, estimated by
@@ -402,12 +428,13 @@ class FeatureExtractor:
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
         G, chunks = self._sortjoin_chunks(interleaved)
+        cap = self._sortjoin_window_cap()
         spill = False
         if self._host_spill:
             est = self._estimate_stream_windows(interleaved)
-            if est is not None and est * 21 // 20 > c.sortjoin_max_windows:
+            if est is not None and est * 21 // 20 > cap:
                 log.info("sort-join host-spill mode: ~%d windows > device "
-                         "cap %d", est, c.sortjoin_max_windows)
+                         "cap %d", est, cap)
                 spill = True
         keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
         chunk_meta = []  # (names, [seg_ids], thist)
@@ -429,11 +456,10 @@ class FeatureExtractor:
             chunk_meta.append((chunk.names, segs, thist))
             log.info("sortjoin pass A: %d barcodes, %d windows",
                      sum(len(m[0]) for m in chunk_meta), total)
-            if not spill and total > c.sortjoin_max_windows:
+            if not spill and total > cap:
                 if not self._host_spill:
                     raise SortJoinOverflow(
-                        f"{total} windows > sortjoin_max_windows="
-                        f"{c.sortjoin_max_windows}")
+                        f"{total} windows > the mesh window cap {cap}")
                 log.warning(
                     "sort-join overflow (%d windows > cap %d); spilling "
                     "collected keys to host RAM and continuing chunked "
@@ -532,8 +558,12 @@ class FeatureExtractor:
         cap = c.sortjoin_max_windows
         nparts = max(1, -(-nval // cap))
         if nparts > 1:
-            step = max(1, nval // 1_000_000)
-            sample = np.sort(v[valid][::step])
+            # stride BEFORE masking: v[valid] would copy all valid keys
+            # (gigabytes at the scales this path exists for) just to
+            # stride them away
+            step = max(1, N // 1_000_000)
+            vs = v[::step]
+            sample = np.sort(vs[vs < sent])
             qpos = (np.arange(1, nparts) * len(sample)) // nparts
             bounds = np.unique(sample[qpos])
         else:
@@ -578,6 +608,12 @@ class FeatureExtractor:
     def _sortjoin_pad_size(self, total: int) -> int:
         """Padded sort length (sharded twin rounds to the mesh size)."""
         return sortjoin_pad_size(total)
+
+    def _sortjoin_window_cap(self) -> int:
+        """Windows the device path may hold at once; the sharded twin
+        scales this with the mesh (each device sorts N/n_dev), so the
+        mid-stream overflow check must use it, not the raw config cap."""
+        return self.cfg.sortjoin_max_windows
 
     def _sortjoin_pad(self, n: int) -> jnp.ndarray:
         """Sentinel padding for the sort (sharded twin places it on the
@@ -655,8 +691,25 @@ class FeatureExtractor:
     def _device_batch(self, b):
         """Host batch -> device arrays; ShardedFeatureExtractor overrides
         this with mesh placements."""
-        return (jnp.asarray(b.codes), jnp.asarray(b.lengths),
+        return (self._device_codes(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+
+    def _device_codes(self, codes: np.ndarray) -> jnp.ndarray:
+        """Code-matrix transfer: 2-bit packed + invalid bitmask when the
+        backend is an accelerator (2.67x less host->device traffic —
+        transfers dominate e2e time on remote/tunneled chips and are
+        ~1/3 of it over PCIe), unpacked on the CPU backend where there
+        is no transfer to save."""
+        if self._pack_transfers and codes.shape[1] % 8 == 0:
+            return _unpack_codes(*map(jnp.asarray, pack_codes_host(codes)))
+        return jnp.asarray(codes)
+
+    @property
+    def _pack_transfers(self) -> bool:
+        mode = self.cfg.pack_transfers
+        if mode == "auto":
+            return jax.default_backend() != "cpu"
+        return bool(mode == "on" or mode is True)
 
     # ---- artifacts --------------------------------------------------------
 

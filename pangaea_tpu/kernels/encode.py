@@ -261,3 +261,25 @@ def canonical_rank_lut(k: int) -> np.ndarray:
     rank_of = np.zeros(4 ** k, dtype=np.int32)
     rank_of[order] = np.arange(order.size, dtype=np.int32)
     return rank_of[canon].astype(np.int32)
+
+
+def kmer_positions_np(seq, k: int):
+    """Host-side (values, positions) of every N-free k-mer window of one
+    ASCII sequence, 2-bit packed into uint64 (k <= 31). Shared by the
+    asm-layer anchor aligner and any host-side indexing; the batched
+    (R, L)-matrix twin of this logic lives in kmer_window_values (device)
+    and tools/refstack.write_jellyfish_dump (numpy, matrix form)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    codes = encode_bases(seq)
+    n = len(codes)
+    if n < k:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    W = n - k + 1
+    acc = np.zeros(W, np.uint64)
+    nbad = np.cumsum(codes >= 4)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | codes[j:j + W].astype(np.uint64)
+    ok = (nbad[k - 1:] - np.concatenate([[0], nbad[:W - 1]])) == 0
+    pos = np.flatnonzero(ok)
+    return acc[pos], pos

@@ -67,18 +67,6 @@ def count_kmers_global(table: jax.Array, codes: jax.Array, lengths: jax.Array,
     return table.at[idx.ravel()].add(1, mode="drop")
 
 
-@functools.partial(jax.jit, donate_argnames=("table",))
-def add_keys_to_table(table: jax.Array, keys: jax.Array) -> jax.Array:
-    """Scatter precomputed canonical-key windows into the dense table.
-
-    ``keys`` is ``batch_kmer_keys`` output: the sentinel for invalid
-    windows is 4^k, exactly the OOB index of the (4^k,) table, so
-    ``mode="drop"`` discards them. Used by the sort-join overflow
-    fallback: keys already collected for the sort become table counts
-    instead of re-reading and re-encoding the stream."""
-    return table.at[keys].add(1, mode="drop")
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("k", "window", "vector_size", "overlap"),

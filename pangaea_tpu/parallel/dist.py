@@ -370,17 +370,14 @@ class ShardedFeatureExtractor(FeatureExtractor):
         self._repl = NamedSharding(mesh, P())
         self._sortjoin_fn = None  # built lazily on first use
 
-    def sortjoin_eligible(self, reads1: str, reads2: str,
-                          interleaved: str) -> bool:
-        # Same eligibility as the base class, but the window cap scales
-        # with the mesh: make_sharded_sortjoin holds and sorts only
-        # N/n_dev keys per device.
-        saved = self.cfg.sortjoin_max_windows
-        self.cfg.sortjoin_max_windows = saved * self.mesh.devices.size
-        try:
-            return super().sortjoin_eligible(reads1, reads2, interleaved)
-        finally:
-            self.cfg.sortjoin_max_windows = saved
+    def _sortjoin_window_cap(self) -> int:
+        # The window cap scales with the mesh: make_sharded_sortjoin
+        # holds and sorts only N/n_dev keys per device. Used by both the
+        # eligibility estimate AND the mid-stream overflow check (the
+        # latter previously compared against the unscaled config cap,
+        # which silently sent exactly the above-cap datasets this class
+        # exists for back to the table path).
+        return self.cfg.sortjoin_max_windows * self.mesh.devices.size
 
     def _sortjoin_pad_size(self, total: int) -> int:
         from pangaea_tpu.kernels.features import sortjoin_pad_size

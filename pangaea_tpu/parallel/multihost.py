@@ -49,7 +49,14 @@ def _iter_raw_chunks(path: str, chunk_size: int):
             while d.eof and d.unused_data:  # next gzip member
                 tail = d.unused_data
                 d = zlib.decompressobj(wbits=31)
-                out += d.decompress(tail)
+                try:
+                    out += d.decompress(tail)
+                except zlib.error:
+                    # trailing non-gzip bytes after the last member
+                    # (padding/garbage some tools append — gzip itself
+                    # only warns); treat as end of stream
+                    d = zlib.decompressobj(wbits=31)
+                    break
             if out:
                 yield out, consumed
 
@@ -63,6 +70,7 @@ class _ShardWriter:
         self.path = path + ".gz" if compress else path
         self._f = open(self.path, "wb")
         self._q = None
+        self._err = None
         if compress:
             import queue
             import threading
@@ -72,18 +80,29 @@ class _ShardWriter:
 
     def _run(self):
         import zlib
-        comp = zlib.compressobj(1, zlib.DEFLATED, 31)
-        while True:
-            block = self._q.get()
-            if block is None:
-                self._f.write(comp.flush())
-                return
-            out = comp.compress(block)
-            if out:
-                self._f.write(out)
+        try:
+            comp = zlib.compressobj(1, zlib.DEFLATED, 31)
+            while True:
+                block = self._q.get()
+                if block is None:
+                    self._f.write(comp.flush())
+                    return
+                out = comp.compress(block)
+                if out:
+                    self._f.write(out)
+        except Exception as e:  # surfaced by write()/close(): a dead
+            self._err = e       # thread must not leave the producer
+            while True:         # blocked on a full queue (e.g. ENOSPC)
+                if self._q.get() is None:
+                    return
+
+    def _check(self):
+        if self._err is not None:
+            raise self._err
 
     def write(self, block: bytes):
         if self._q is not None:
+            self._check()
             self._q.put(block)
         else:
             self._f.write(block)
@@ -93,6 +112,7 @@ class _ShardWriter:
             self._q.put(None)
             self._t.join()
         self._f.close()
+        self._check()
 
 
 def split_interleaved_by_barcode(path: str, out_prefix: str,

@@ -179,3 +179,38 @@ def test_group_features_from_imported_dump(tmp_path):
     n2, a2, _ = fe2.group_features(t2, interleaved=fq)
     assert names.tolist() == n2.tolist()
     np.testing.assert_array_equal(abd, a2)
+
+
+def test_pack_transfers_exact():
+    """2-bit packed transfer (pack_codes_host -> device unpack) is
+    byte-identical to the raw uint8 code matrix, including N/pad bytes."""
+    import jax.numpy as jnp
+    from pangaea_tpu.features import _unpack_codes, pack_codes_host
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, (64, 96)).astype(np.uint8)
+    codes[rng.random((64, 96)) < 0.1] = 4
+    codes[:, 90:] = 4  # pad tail
+    p, m = pack_codes_host(codes)
+    assert p.nbytes + m.nbytes == codes.nbytes * 3 // 8
+    out = np.asarray(_unpack_codes(jnp.asarray(p), jnp.asarray(m)))
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_pack_transfers_extraction_equal(tmp_path):
+    """extract_features with pack_transfers on == off, end to end."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=5_000,
+                          n_barcodes=10, pairs_per_barcode=5, read_len=40,
+                          seed=3)
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    outs = {}
+    for mode in ("on", "off"):
+        cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                            max_read_len=64, reads_per_batch=32,
+                            min_qual_char=None, pack_transfers=mode)
+        fe = FeatureExtractor(cfg, str(tmp_path / f"p{mode}"))
+        outs[mode] = fe.extract_features(interleaved=fq)
+    for a, b in zip(outs["on"], outs["off"]):
+        np.testing.assert_array_equal(a, b)
