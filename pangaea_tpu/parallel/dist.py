@@ -196,8 +196,14 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
         run_len = run_end - posi + 1  # valid at run starts (posi == start)
         route = start & (skeys < sentinel)
         h = skeys.astype(jnp.uint32) * jnp.uint32(2654435761)
-        dest = jnp.where(route, (h % jnp.uint32(n_dev)).astype(jnp.int32),
-                         jnp.int32(n_dev))
+        # multiplicative hashing must take HIGH bits: h % n_dev on a
+        # pow2 mesh keeps only the product's low bits, which depend only
+        # on key mod n_dev — composition-biased genomes then skew the
+        # buckets (caught by the mesh-cap regression test). Map the
+        # well-mixed upper half onto [0, n_dev) instead.
+        dest = jnp.where(
+            route, (((h >> 16) * jnp.uint32(n_dev)) >> 16).astype(jnp.int32),
+            jnp.int32(n_dev))
         sdest, rkeys, rcnt, rpos = jax.lax.sort(
             (dest, skeys, run_len, posi), num_keys=1)
         bounds = jnp.arange(n_dev, dtype=jnp.int32)
@@ -296,8 +302,10 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
         route = start & (shi < sent_hi)
         h = (shi * jnp.uint32(2654435761)) ^ (slo * jnp.uint32(40503)) \
             ^ (slo >> 16)
-        dest = jnp.where(route, (h % jnp.uint32(n_dev)).astype(jnp.int32),
-                         jnp.int32(n_dev))
+        # high-half range mapping, same rationale as the single-word path
+        dest = jnp.where(
+            route, (((h >> 16) * jnp.uint32(n_dev)) >> 16).astype(jnp.int32),
+            jnp.int32(n_dev))
         sdest, rhi, rlo, rcnt, rpos = jax.lax.sort(
             (dest, shi, slo, run_len, pos0), num_keys=1)
         bounds = jnp.arange(n_dev, dtype=jnp.int32)

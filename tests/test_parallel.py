@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pangaea_tpu.config import ModelConfig
+from pangaea_tpu.config import FeatureConfig, ModelConfig
 from pangaea_tpu.kernels.features import count_kmers_global, make_global_table
 from pangaea_tpu.model import VAE, VAETrainer, init_vae
 from pangaea_tpu.model.dataset import batch_index_matrix
@@ -278,5 +278,49 @@ def test_sharded_feature_extractor_k21_matches_single(mesh, tmp_path):
         str(tmp_path / "m"), mesh)
     n2, a2, t2 = sharded.extract_features(interleaved=reads)
     assert n1.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_sharded_overflow_cap_scales_with_mesh(tmp_path, monkeypatch):
+    """Regression: the mid-stream overflow check must use the MESH-scaled
+    window cap — datasets in (cap, n_dev*cap] are exactly the routed
+    sort-join's workload and must not restart on the table path."""
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor, data_mesh
+
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=8_000,
+                          n_barcodes=24, pairs_per_barcode=12, read_len=40,
+                          seed=7)
+    mesh = data_mesh(8)
+    # total windows (~32k) land between cap and 8*cap
+    # 64-row batches keep the number of collective dispatches low: on a
+    # 2-core host XLA-CPU aborts the whole process if any of the 8
+    # virtual-device threads is starved >40 s at a collective rendezvous
+    # (rendezvous.cc termination timeout) — an environment livelock all
+    # virtual-mesh collective tests share under heavy co-load
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=64,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=5_000)
+    fe = ShardedFeatureExtractor(cfg, str(tmp_path / "sharded"), mesh)
+    calls = []
+    orig = ShardedFeatureExtractor.group_features
+
+    def spy(self, *a, **k):
+        calls.append("table_path")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ShardedFeatureExtractor, "group_features", spy)
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    assert calls == [], "restarted on the table path below the mesh cap"
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
