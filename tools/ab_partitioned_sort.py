@@ -26,7 +26,9 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from pangaea_tpu.utils import device_sync
+from pangaea_tpu.utils import device_sync, enable_compilation_cache
+
+enable_compilation_cache()
 
 N = 32 * 1024 * 1024
 REPS = 3

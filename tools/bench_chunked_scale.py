@@ -30,13 +30,21 @@ import jax.numpy as jnp
 from pangaea_tpu.config import FeatureConfig
 from pangaea_tpu.features import FeatureExtractor
 from pangaea_tpu.kernels.features import sortjoin_bins, sortjoin_pad_size
-from pangaea_tpu.utils import device_sync
+from pangaea_tpu.utils import device_sync, enable_compilation_cache
+
+enable_compilation_cache()
+
+import os
 
 K, WINDOW, VEC = 15, 10, 400
 PER_BATCH = 16384 * 138          # rows x windows/row at 152-wide rows
-N1_BATCHES = 15                  # ~33.9M windows  (240k-read scale)
-N2_BATCHES = 150                 # ~339M windows   (2.4M-read scale)
-CAP = 256 * 1024 * 1024
+N1_BATCHES = int(os.environ.get("CS_N1", 15))   # ~33.9M windows (240k reads)
+N2_BATCHES = int(os.environ.get("CS_N2", 150))  # ~339M windows (2.4M reads)
+# CAP sets the per-range sort size. The default 32M keeps every compiled
+# program near the headline 34M shape (tunnel compiles are minutes per
+# distinct shape and the axon backend can die mid-compile); the
+# production default 256M changes only the range count, not the math.
+CAP = int(os.environ.get("CS_CAP", 32 * 1024 * 1024))
 
 
 def gen_batches(n_batches, seed):
