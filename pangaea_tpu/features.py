@@ -556,7 +556,9 @@ class FeatureExtractor:
         if nval == 0:
             return bins_all
         cap = c.sortjoin_max_windows
-        nparts = max(1, -(-nval // cap))
+        # 5% headroom so quantile jitter rarely pushes a range past the
+        # cap (which would cost a fresh compile shape)
+        nparts = max(1, -(-nval // max(1, cap * 19 // 20)))
         if nparts > 1:
             # stride BEFORE masking: v[valid] would copy all valid keys
             # (gigabytes at the scales this path exists for) just to
@@ -576,7 +578,14 @@ class FeatureExtractor:
         # stable integer argsort is a radix pass: this IS the partition
         order = np.argsort(digits, kind="stable")
         del digits
-        pad_n = sortjoin_pad_size(int(counts.max()))
+        # pad every range to the cap's padded shape, NOT the
+        # data-dependent max count: the compile shape is then a pure
+        # function of the config (warmable, persistent-cache-friendly —
+        # tunnel compiles cost minutes per distinct shape) at the price
+        # of a few % sentinel slack. Quantile-balanced ranges sit a
+        # little under the cap; only a hot-key range can exceed it.
+        pad_n = sortjoin_pad_size(cap if counts.max() <= cap
+                                  else int(counts.max()))
         if counts.max() > cap:
             log.warning(
                 "chunked sort-join: a key range holds %d windows > cap %d "
