@@ -251,7 +251,7 @@ class FeatureExtractor:
         from pangaea_tpu.io.prefetch import prefetch
         segsum = use_segsum_impl(c.hist_impl)
         names: List[str] = []
-        abd_rows, tnf_rows = [], []
+        abd_rows, tnf_rows, trims = [], [], []
         for chunk in prefetch(chunks):
             if segsum:
                 hist = jnp.zeros((G, c.vector_size), jnp.int32)
@@ -275,17 +275,25 @@ class FeatureExtractor:
                         vector_size=c.vector_size, overlap=overlap)
                     thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
                                           num_cols=ncols, overlap=overlap)
-            g = chunk.num_groups
             names += chunk.names
-            abd_rows.append(np.asarray(hist).reshape(G, c.vector_size)[:g])
-            tnf_rows.append(np.asarray(thist).reshape(G, ncols)[:g])
+            abd_rows.append(hist)
+            tnf_rows.append(thist)
+            trims.append(chunk.num_groups)
             log.info("group pass: %d barcodes", len(names))
         if not names:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
-        return (np.array(names), np.concatenate(abd_rows),
-                np.concatenate(tnf_rows))
+        # one blocking transfer for all chunks (see group_features_sortjoin)
+        abd_all = np.asarray(jnp.stack(abd_rows)).reshape(
+            len(abd_rows), G, c.vector_size)
+        tnf_all = np.asarray(jnp.stack(tnf_rows)).reshape(
+            len(tnf_rows), G, ncols)
+        return (np.array(names),
+                np.concatenate([abd_all[i][:g]
+                                for i, g in enumerate(trims)]),
+                np.concatenate([tnf_all[i][:g]
+                                for i, g in enumerate(trims)]))
 
     # ---- sort-join fast path ----------------------------------------------
 
@@ -495,7 +503,7 @@ class FeatureExtractor:
             def bins_at(off):
                 return jax.lax.dynamic_slice(bins, (off,), (per_batch,))
         names: List[str] = []
-        abd_rows, tnf_rows = [], []
+        abd_dev, tnf_dev, trims = [], [], []
         off = 0
         for cnames, segs, thist in chunk_meta:
             hist = jnp.zeros((G, c.vector_size), jnp.int32)
@@ -504,15 +512,23 @@ class FeatureExtractor:
                     hist, bins_at(off).reshape(rows, wrow), seg,
                     vector_size=c.vector_size, n_groups=G)
                 off += per_batch
-            g = len(cnames)
             names += list(cnames)
-            abd_rows.append(np.asarray(hist)[:g])
-            tnf_rows.append(np.asarray(thist)[:g])
+            abd_dev.append(hist)
+            tnf_dev.append(thist)
+            trims.append(len(cnames))
         log.info("sortjoin done: %d barcodes, %d windows", len(names), total)
         if not names:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
+        # ONE blocking device->host transfer for all chunks: per-chunk
+        # np.asarray forced a tunnel round trip per chunk (2 per chunk x
+        # dozens of chunks dominated e2e time on remote chips). The trim
+        # to each chunk's group count happens on the host.
+        abd_all = np.asarray(jnp.stack(abd_dev))
+        tnf_all = np.asarray(jnp.stack(tnf_dev))
+        abd_rows = [abd_all[i][:g] for i, g in enumerate(trims)]
+        tnf_rows = [tnf_all[i][:g] for i, g in enumerate(trims)]
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
 

@@ -30,7 +30,9 @@ from pangaea_tpu.utils import device_sync, enable_compilation_cache
 
 enable_compilation_cache()
 
-N = 32 * 1024 * 1024
+import os
+N = int(os.environ.get("AB_N", 32 * 1024 * 1024))
+PARTS = tuple(int(x) for x in os.environ.get("AB_PARTS", "8,16,32,64,128").split(","))
 REPS = 3
 
 
@@ -68,7 +70,7 @@ def main():
     t_one = bench(one_sort, keys)
     print(f"single sort        N={N}: {t_one*1e3:8.1f} ms "
           f"({t_one/N*1e9:.2f} ns/elem)")
-    for parts in (8, 16, 32, 64, 128):
+    for parts in PARTS:
         k2 = keys.reshape(parts, N // parts)
 
         @jax.jit
