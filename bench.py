@@ -132,16 +132,29 @@ def device_features(batches, n_groups):
                 thist, codes, lengths, seg, cont, k=TNFK, num_cols=ncols,
                 overlap=K - 1, n_groups=n_groups)
         per_batch = keys_parts[0].shape[0]
-        total = sum(p.shape[0] for p in keys_parts)
+        total_orig = sum(p.shape[0] for p in keys_parts)
+        # trim the final batch's pad-row windows (all sentinels) before
+        # the sort — mirrors features.group_features_sortjoin; at this
+        # geometry it is what keeps the sort under the 2^25 pow2 tier
+        wrow = ROW_LEN - K + 1
+        n_last = batches[-1].lengths.nonzero()[0]
+        rows_used = int(n_last[-1]) + 1 if n_last.size else 0
+        tail = (batches[-1].lengths.shape[0] - rows_used) * wrow
+        if tail:
+            keys_parts[-1] = keys_parts[-1][:per_batch - tail]
+        total = total_orig - tail
         npad = sortjoin_pad_size(total)
         if npad > total:
             keys_parts.append(jnp.full(npad - total, kmer_key_sentinel(K),
                                        jnp.int32))
-        # row-grouped restore: the second sort is one packed uint32
+        # row-grouped restore: the second sort is one packed int32
         # operand (within-row order is free to the histogram)
         bins = sortjoin_bins_rowgrouped(
             jnp.concatenate(keys_parts), k=K, window=WINDOW,
-            vector_size=VEC, row_windows=ROW_LEN - K + 1)
+            vector_size=VEC, row_windows=wrow)
+        if bins.shape[0] < total_orig:
+            bins = jnp.concatenate(
+                [bins, jnp.full(total_orig - bins.shape[0], -1, jnp.int32)])
         hist = jnp.zeros((n_groups, VEC), jnp.int32)
         rows = dev_batches[0][0].shape[0]
         off = 0

@@ -447,10 +447,12 @@ class FeatureExtractor:
         keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
         chunk_meta = []  # (names, [seg_ids], thist)
         total = 0
+        last_lengths = None
         for chunk in prefetch(chunks):
             thist = jnp.zeros((G, ncols), jnp.int32)
             segs = []
             for b in chunk.batches:
+                last_lengths = np.asarray(b.lengths)
                 codes, lengths, seg, cont = self._device_batch(b)
                 part = self._batch_keys(codes, lengths, cont)
                 if spill:
@@ -483,9 +485,28 @@ class FeatureExtractor:
         per_batch = keys_parts[0][0].shape[0]
         rows = c.reads_per_batch
         wrow = per_batch // rows
+        # Trim trailing pad ROWS of the final batch before the sort:
+        # their windows are all sentinels — pure sort cost, and often the
+        # difference between landing just above vs just below a pow2 sort
+        # tier (+32% measured, see sortjoin_pad_size). The replay below
+        # still walks a uniform per_batch stride: the bins vector is
+        # re-padded with -1 (= dropped window) up to the untrimmed total.
+        total_orig = total
+        if last_lengths is not None:
+            nz = np.nonzero(last_lengths)[0]
+            rows_used = int(nz[-1]) + 1 if nz.size else 0
+            tail = (last_lengths.shape[0] - rows_used) * wrow
+            if tail:
+                keys_parts[-1] = tuple(w[:w.shape[0] - tail]
+                                       for w in keys_parts[-1])
+                total -= tail
         if spill:
             bins_host = self._chunked_sortjoin_bins(keys_parts)
             del keys_parts
+            if bins_host.shape[0] < total_orig:
+                bins_host = np.concatenate(
+                    [bins_host, np.full(total_orig - bins_host.shape[0],
+                                        -1, np.int32)])
 
             def bins_at(off):
                 return jnp.asarray(bins_host[off:off + per_batch])
@@ -499,6 +520,10 @@ class FeatureExtractor:
             del keys_parts
             bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow)
             del keys
+            if bins.shape[0] < total_orig:
+                bins = jnp.concatenate(
+                    [bins, jnp.full(total_orig - bins.shape[0], -1,
+                                    jnp.int32)])
 
             def bins_at(off):
                 return jax.lax.dynamic_slice(bins, (off,), (per_batch,))

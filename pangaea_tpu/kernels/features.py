@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pangaea_tpu.kernels import scan as pscan
 from pangaea_tpu.kernels.encode import (canonical_kmers, canonical_order,
                                         kmer_window_values)
 
@@ -300,11 +301,19 @@ def sortjoin_pad_size(n: int) -> int:
     price of one cached compilation per distinct multiple. 1M (not the
     earlier 4M) because sentinel padding is pure sort cost: at the
     headline 33.9M-window shape a 4M quantum re-added 11% sentinels,
-    silently eating the auto_row_len win."""
+    silently eating the auto_row_len win.
+
+    One exception: lax.sort steps ~32% just past each pow2 boundary
+    (measured v5e, tools/ab_sort_pad.py: 2^25 int32 = 90 ms but
+    2^25+1M = 118 ms, 2.69 -> 3.42 ns/elem), so when a pow2 lies
+    between n and the next 1M multiple, pad to the pow2 and stay under
+    the step."""
     if n <= _SORTJOIN_PAD_QUANTUM:
         return 1 << max(0, (n - 1)).bit_length()
     q = _SORTJOIN_PAD_QUANTUM
-    return ((n + q - 1) // q) * q
+    grid = ((n + q - 1) // q) * q
+    p2 = 1 << (n - 1).bit_length()
+    return p2 if p2 < grid else grid
 
 
 @functools.partial(jax.jit, static_argnames=("k", "overlap"))
@@ -327,8 +336,8 @@ def _sortjoin_bins_impl(keys: jax.Array, k: int, window: int,
     pos = jnp.arange(n, dtype=jnp.int32)
     start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
-    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    run_start = pscan.cummax(jnp.where(start, pos, 0))
+    run_end = pscan.cummin_reverse(jnp.where(end, pos, n))
     count = run_end - run_start + 1
     bins = count // jnp.int32(window)
     ok = (sk < kmer_key_sentinel(k)) & (bins < vector_size)
@@ -350,11 +359,11 @@ def _sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, k: int,
     sk, sw, si = jax.lax.sort((keys, weights, idx), num_keys=1)
     start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    cw = jnp.cumsum(sw)
+    cw = pscan.cumsum(sw)
     excl = cw - sw
-    run_before = jax.lax.cummax(jnp.where(start, excl, 0))
-    run_total = jax.lax.cummin(
-        jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+    run_before = pscan.cummax(jnp.where(start, excl, 0))
+    run_total = pscan.cummin_reverse(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max))
     count = run_total - run_before
     bins = count // jnp.int32(window)
     ok = (sk < kmer_key_sentinel(k)) & (count > 0) & (bins < vector_size)
@@ -378,10 +387,13 @@ def _sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, k: int,
 
 
 def _rowgrouped_restore(srow: jax.Array, binv: jax.Array) -> jax.Array:
-    packed = (srow.astype(jnp.uint32) << 9) \
-        | (binv + 1).astype(jnp.uint32)
+    # int32, not uint32: srow < 2^22 keeps the packed word positive, the
+    # order is identical, and the signed sort is measurably faster on TPU
+    # (33.5M elements, v5e: int32 single-operand sort ~90 ms vs ~121 ms
+    # for the same sort in uint32 — tools/ab_sortjoin_phases.py).
+    packed = (srow << 9) | (binv + 1)
     spacked = jax.lax.sort(packed)
-    return (spacked & jnp.uint32(511)).astype(jnp.int32) - 1
+    return (spacked & jnp.int32(511)) - 1
 
 
 @functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
@@ -405,8 +417,8 @@ def sortjoin_bins_rowgrouped(keys: jax.Array, *, k: int, window: int,
     pos = jnp.arange(n, dtype=jnp.int32)
     start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
-    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    run_start = pscan.cummax(jnp.where(start, pos, 0))
+    run_end = pscan.cummin_reverse(jnp.where(end, pos, n))
     count = run_end - run_start + 1
     bins = count // jnp.int32(window)
     ok = (sk < kmer_key_sentinel(k)) & (bins < vector_size)
@@ -458,8 +470,8 @@ def sortjoin_bins_pair(hi: jax.Array, lo: jax.Array, *, k: int,
     start = jnp.concatenate([jnp.ones(1, bool),
                              (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
-    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    run_start = pscan.cummax(jnp.where(start, pos, 0))
+    run_end = pscan.cummin_reverse(jnp.where(end, pos, n))
     count = run_end - run_start + 1
     bins = count // jnp.int32(window)
     sent_hi, _ = kmer_key_sentinel_pair(k)
@@ -481,11 +493,11 @@ def _sortjoin_bins_weighted_pair(hi: jax.Array, lo: jax.Array,
     start = jnp.concatenate([jnp.ones(1, bool),
                              (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    cw = jnp.cumsum(sw)
+    cw = pscan.cumsum(sw)
     excl = cw - sw
-    run_before = jax.lax.cummax(jnp.where(start, excl, 0))
-    run_total = jax.lax.cummin(
-        jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+    run_before = pscan.cummax(jnp.where(start, excl, 0))
+    run_total = pscan.cummin_reverse(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max))
     count = run_total - run_before
     bins = count // jnp.int32(window)
     sent_hi, _ = kmer_key_sentinel_pair(k)
@@ -515,8 +527,8 @@ def sortjoin_bins_pair_rowgrouped(hi: jax.Array, lo: jax.Array, *, k: int,
     start = jnp.concatenate([jnp.ones(1, bool),
                              (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
     end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-    run_start = jax.lax.cummax(jnp.where(start, pos, 0))
-    run_end = jax.lax.cummin(jnp.where(end, pos, n), reverse=True)
+    run_start = pscan.cummax(jnp.where(start, pos, 0))
+    run_end = pscan.cummin_reverse(jnp.where(end, pos, n))
     count = run_end - run_start + 1
     bins = count // jnp.int32(window)
     sent_hi, _ = kmer_key_sentinel_pair(k)

@@ -517,8 +517,13 @@ def test_sortjoin_pad_size_properties():
         if n <= q:
             assert p & (p - 1) == 0  # pow2
         else:
-            assert p % q == 0 and p - n < q
+            assert (p % q == 0 or p & (p - 1) == 0) and p - n < q
             assert (p - n) / n < 0.03 or n < 32 * q
+    # lax.sort steps ~32% just past pow2 boundaries (tools/ab_sort_pad.py)
+    # so a pow2 sitting between n and the next 1M multiple wins
+    assert sortjoin_pad_size(33_200_000) == 1 << 25
+    assert sortjoin_pad_size((1 << 25) + 1) == 32 * q + q  # past pow2: grid
+    assert sortjoin_pad_size(1 << 25) == 1 << 25
 
 
 def test_chunked_sortjoin_multirange_matches_scatter(tmp_path):

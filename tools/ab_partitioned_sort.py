@@ -59,13 +59,14 @@ def main():
 
     @jax.jit
     def one_sort_kv(k, v):
-        return jax.lax.sort((k, v), num_keys=1)[0]
+        # return BOTH outputs: returning only [0] lets XLA dead-code the
+        # payload operand and silently benches a key-only sort (the r2
+        # session's first run of this tool hit exactly that)
+        return jax.lax.sort((k, v), num_keys=1)
 
     @jax.jit
-    def packed_sort(k, v):
-        p = (k.astype(jnp.uint64) << jnp.uint64(32)) | v.astype(jnp.uint64)
-        s = jax.lax.sort(p)
-        return (s >> jnp.uint64(32)).astype(jnp.int32)
+    def one_sort_u32(k):
+        return jax.lax.sort(k.astype(jnp.uint32))
 
     t_one = bench(one_sort, keys)
     print(f"single sort        N={N}: {t_one*1e3:8.1f} ms "
@@ -82,12 +83,24 @@ def main():
               f"{t*1e3:8.1f} ms ({t/N*1e9:.2f} ns/elem, "
               f"{t/t_one:.2f}x of single)")
 
+    for parts in PARTS:
+        k2 = keys.reshape(parts, N // parts)
+        v2 = payload.reshape(parts, N // parts)
+
+        @jax.jit
+        def part_sort_kv(k, v):
+            return jax.lax.sort((k, v), dimension=1, num_keys=1)
+
+        t = bench(part_sort_kv, k2, v2)
+        print(f"batched kv {parts:3d} x {N//parts//1024}k: "
+              f"{t*1e3:8.1f} ms ({t/N*1e9:.2f} ns/elem)")
+
     t_kv = bench(one_sort_kv, keys, payload)
     print(f"key+payload sort:   {t_kv*1e3:8.1f} ms "
           f"({t_kv/N*1e9:.2f} ns/elem)")
-    t_pk = bench(packed_sort, keys, payload)
-    print(f"u64-packed sort:    {t_pk*1e3:8.1f} ms "
-          f"({t_pk/N*1e9:.2f} ns/elem, {t_pk/t_kv:.2f}x of key+payload)")
+    t_u = bench(one_sort_u32, keys)
+    print(f"uint32 single sort: {t_u*1e3:8.1f} ms "
+          f"({t_u/N*1e9:.2f} ns/elem, {t_u/t_one:.2f}x of int32)")
 
 
 if __name__ == "__main__":
