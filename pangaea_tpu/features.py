@@ -259,8 +259,7 @@ class FeatureExtractor:
             else:
                 hist = jnp.zeros(G * c.vector_size, jnp.int32)
                 thist = jnp.zeros(G * ncols, jnp.int32)
-            for b in chunk.batches:
-                args = self._device_batch(b)
+            for b, args in self._device_chunk_batches(chunk.batches):
                 if segsum:
                     hist = abundance_histogram_segsum(
                         hist, table, *args, k=c.kmer, window=c.window_size,
@@ -451,9 +450,9 @@ class FeatureExtractor:
         for chunk in prefetch(chunks):
             thist = jnp.zeros((G, ncols), jnp.int32)
             segs = []
-            for b in chunk.batches:
+            for b, dev_args in self._device_chunk_batches(chunk.batches):
                 last_lengths = np.asarray(b.lengths)
-                codes, lengths, seg, cont = self._device_batch(b)
+                codes, lengths, seg, cont = dev_args
                 part = self._batch_keys(codes, lengths, cont)
                 if spill:
                     part = tuple(np.asarray(w) for w in part)
@@ -743,6 +742,45 @@ class FeatureExtractor:
         this with mesh placements."""
         return (self._device_codes(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+
+    # Host->device links are bandwidth-curved, not per-call: the SAME
+    # 12 MiB measured 1143 ms as 15 x 800 KiB uploads but 295 ms as one
+    # transfer (tools/ab_transfer.py, tunneled v5e; PCIe curves the same
+    # way, just higher). So ship up to this many batches per upload.
+    _upload_batches = 16
+    _fuse_uploads = True  # ShardedFeatureExtractor keeps per-batch puts
+
+    def _device_chunk_batches(self, batches):
+        """Yield (host_batch, device_args) with all fields of up to
+        ``_upload_batches`` consecutive batches stacked into one
+        host->device transfer each; device-side slicing + 2-bit unpack
+        reproduce exactly what per-batch uploads produced, so every
+        kernel is unchanged. Falls back to per-batch uploads on the CPU
+        backend (no transfer to save), for lone batches, and in
+        subclasses that place arrays on a mesh."""
+        fuse = (self._fuse_uploads and self._pack_transfers
+                and len(batches) > 1
+                and batches[0].codes.shape[1] % 8 == 0)
+        if not fuse:
+            for b in batches:
+                yield b, self._device_batch(b)
+            return
+        step = self._upload_batches
+        for s in range(0, len(batches), step):
+            grp = batches[s:s + step]
+            if len(grp) == 1:
+                yield grp[0], self._device_batch(grp[0])
+                continue
+            packed_l, mask_l = zip(*(pack_codes_host(b.codes)
+                                     for b in grp))
+            packed = jnp.asarray(np.stack(packed_l))
+            mask = jnp.asarray(np.stack(mask_l))
+            lengths = jnp.asarray(np.stack([b.lengths for b in grp]))
+            segs = jnp.asarray(np.stack([b.seg_ids for b in grp]))
+            conts = jnp.asarray(np.stack([b.cont for b in grp]))
+            for i, b in enumerate(grp):
+                yield b, (_unpack_codes(packed[i], mask[i]), lengths[i],
+                          segs[i], conts[i])
 
     def _device_codes(self, codes: np.ndarray) -> jnp.ndarray:
         """Code-matrix transfer: 2-bit packed + invalid bitmask when the

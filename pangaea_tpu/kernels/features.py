@@ -387,10 +387,11 @@ def _sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, k: int,
 
 
 def _rowgrouped_restore(srow: jax.Array, binv: jax.Array) -> jax.Array:
-    # int32, not uint32: srow < 2^22 keeps the packed word positive, the
-    # order is identical, and the signed sort is measurably faster on TPU
-    # (33.5M elements, v5e: int32 single-operand sort ~90 ms vs ~121 ms
-    # for the same sort in uint32 — tools/ab_sortjoin_phases.py).
+    # int32 packing (srow < 2^22 keeps the word positive, so signed and
+    # unsigned order agree; measured cost-identical to uint32 — 1.02x,
+    # tools/ab_partitioned_sort.py). The restore's cost is simply a
+    # single-operand sort at the padded length: keeping that length
+    # under a pow2 tier is what matters (sortjoin_pad_size).
     packed = (srow << 9) | (binv + 1)
     spacked = jax.lax.sort(packed)
     return (spacked & jnp.int32(511)) - 1

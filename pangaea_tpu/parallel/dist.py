@@ -365,6 +365,9 @@ class ShardedFeatureExtractor(FeatureExtractor):
     # not compose with this class's mesh-routed sort-join (its cap
     # already scales with the mesh; see sortjoin_eligible below)
     _host_spill = False
+    # fused chunk uploads would bypass this class's per-batch mesh
+    # placements (_device_batch override); keep per-batch puts
+    _fuse_uploads = False
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
