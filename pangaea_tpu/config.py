@@ -52,9 +52,9 @@ class FeatureConfig:
     # faster on TPU; the sort-join path additionally replaces the global
     # k-mer table (scatter build + gather lookups) with two device sorts
     # and reads the FASTQ once instead of twice. 'auto' = sortjoin when
-    # eligible (accelerator backend, interleaved/unmasked input, window
-    # count within sortjoin_max_windows), else segsum on accelerators,
-    # scatter on the CPU backend.
+    # eligible (accelerator backend; interleaved OR paired input — the
+    # paired quality-masked global pass runs as the weighted join), else
+    # segsum on accelerators, scatter on the CPU backend.
     hist_impl: str = "auto"
     # Host->device code-matrix transfer packing: 'auto' (on for
     # accelerator backends, off for CPU where there is no transfer to

@@ -15,9 +15,12 @@ comma-separated ``barcode,c0,c1,...`` like the C++ tools' output.
 
 Quality masking parity: jellyfish is invoked with ``--min-qual-char=?``
 only on the paired-reads path (src/feature.py:76-86); the interleaved path
-counts unmasked. Masking therefore applies only to the *global table*
-pass — count_kmer scans raw bases and relies on table lookups
-(count_kmer.cpp:87), which this reproduces.
+counts unmasked. Masking therefore applies only to the *global* counts —
+count_kmer scans raw bases and relies on table lookups
+(count_kmer.cpp:87). Both implementations reproduce this: the table path
+masks codes in the global pass only, and the sort-join path runs the
+WEIGHTED join (each window routes its unmasked key with weight 1 iff it
+survives masking; kernels/features.py §quality-masked sort-join).
 """
 
 from __future__ import annotations
@@ -75,6 +78,23 @@ def _unpack_codes(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     bits = jnp.stack([(mask >> j) & 1 for j in range(8)],
                      axis=-1).reshape(R, Q * 4)
     return jnp.where(bits != 0, jnp.uint8(4), codes)
+
+
+@jax.jit
+def _unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """(R, L//8) little-order bit plane -> (R, L) uint8 0/1 (the lowq
+    plane travels 8x packed like the invalid mask)."""
+    R, Q = packed.shape
+    return jnp.stack([(packed >> j) & 1 for j in range(8)],
+                     axis=-1).reshape(R, Q * 8).astype(jnp.uint8)
+
+
+# Tail-batch pad rows are trimmed from the sort in multiples of this many
+# rows: exact trims would mint one compiled slice/pad shape per distinct
+# rows_used value, while quantizing bounds the shape set at
+# reads_per_batch / _TRIM_QUANTUM (<= 32 at the default geometry) for a
+# worst-case 2047 wasted pad rows per chunk tail.
+_TRIM_QUANTUM = 2048
 
 
 class SortJoinOverflow(RuntimeError):
@@ -211,14 +231,59 @@ class FeatureExtractor:
         c = self.cfg
         table = make_global_table(c.kmer)
         n = 0
-        for b in prefetch(self._global_batches(reads1, reads2, interleaved)):
-            table = count_kmers_global(
-                table, self._device_codes(b.codes), jnp.asarray(b.lengths),
-                jnp.asarray(b.cont), k=c.kmer, overlap=c.kmer - 1)
+        events = (("batch", b)
+                  for b in self._global_batches(reads1, reads2, interleaved))
+        for _, (b, args) in prefetch(self._device_event_batches(events),
+                                     depth=4):
+            codes, lengths, _, cont = args
+            table = count_kmers_global(table, codes, lengths, cont,
+                                       k=c.kmer, overlap=c.kmer - 1)
             n += b.codes.shape[0]
             if n % (50 * c.reads_per_batch) == 0:
                 log.info("global pass: %d read rows", n)
         return table
+
+    def _group_events(self, reads1: str, reads2: str, interleaved: str,
+                      keep_dropped: bool = False):
+        """("batch", b)/("chunk", names) event stream for the group pass
+        (native C++ parse when available, Python packer otherwise).
+        Returns (groups_per_chunk, events).
+
+        Paired (-1/-2) sort-join streams additionally carry (a) the lowq
+        plane when min_qual_char is set (the weighted masked-global join,
+        src/feature.py:76-86) and (b) mismatched R1/R2 pairs as
+        global-only seg -1 reads (jellyfish counts them even though
+        count_kmer.cpp:195-197 skips them from grouping)."""
+        c = self.cfg
+        masked = bool(keep_dropped and reads1 and reads2
+                      and c.min_qual_char)
+        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
+                         overlap=c.kmer - 1,
+                         reads_per_batch=c.reads_per_batch,
+                         keep_dropped=keep_dropped,
+                         min_qual_char=c.min_qual_char if masked else None)
+        use_native = False
+        if interleaved and c.bug_compat_boundary_leak:
+            try:
+                from pangaea_tpu.native import native_available
+                use_native = native_available()
+            except Exception:
+                pass
+        if use_native:
+            from pangaea_tpu.io.fast_packing import native_group_events
+            return gp.groups_per_chunk, native_group_events(
+                interleaved, c.min_length, self.row_len,
+                c.reads_per_batch, gp.groups_per_chunk,
+                keep_dropped=keep_dropped)
+        if interleaved or not keep_dropped:
+            pairs = self._pair_stream(reads1, reads2, interleaved)
+        else:
+            # sort-join global counts must cover mismatched pairs too
+            pairs = iter_read_pairs_paired(reads1, reads2,
+                                           drop_unpaired=False)
+        groups = iter_barcode_groups(
+            pairs, bug_compat=c.bug_compat_boundary_leak)
+        return gp.groups_per_chunk, gp.iter_events(groups)
 
     def group_features(self, table: jnp.ndarray, reads1: str = "",
                        reads2: str = "", interleaved: str = ""
@@ -228,57 +293,45 @@ class FeatureExtractor:
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
         lut = jnp.asarray(canonical_rank_lut(c.tnf_kmer))
-        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
-                         overlap=overlap, reads_per_batch=c.reads_per_batch)
-        use_native = False
-        if interleaved and c.bug_compat_boundary_leak:
-            try:
-                from pangaea_tpu.native import native_available
-                use_native = native_available()
-            except Exception:
-                pass
-        if use_native:
-            from pangaea_tpu.io.fast_packing import native_group_chunks
-            chunks = native_group_chunks(
-                interleaved, c.min_length, self.row_len,
-                c.reads_per_batch, gp.groups_per_chunk)
-        else:
-            groups = iter_barcode_groups(
-                self._pair_stream(reads1, reads2, interleaved),
-                bug_compat=c.bug_compat_boundary_leak)
-            chunks = gp.iter_chunks(groups)
-        G = gp.groups_per_chunk
+        G, events = self._group_events(reads1, reads2, interleaved)
         from pangaea_tpu.io.prefetch import prefetch
         segsum = use_segsum_impl(c.hist_impl)
         names: List[str] = []
         abd_rows, tnf_rows, trims = [], [], []
-        for chunk in prefetch(chunks):
+
+        def fresh():
             if segsum:
-                hist = jnp.zeros((G, c.vector_size), jnp.int32)
-                thist = jnp.zeros((G, ncols), jnp.int32)
+                return (jnp.zeros((G, c.vector_size), jnp.int32),
+                        jnp.zeros((G, ncols), jnp.int32))
+            return (jnp.zeros(G * c.vector_size, jnp.int32),
+                    jnp.zeros(G * ncols, jnp.int32))
+
+        hist, thist = fresh()
+        for kind, payload in prefetch(self._device_event_batches(events),
+                                      depth=4):
+            if kind == "chunk":
+                names += payload
+                abd_rows.append(hist)
+                tnf_rows.append(thist)
+                trims.append(len(payload))
+                hist, thist = fresh()
+                log.info("group pass: %d barcodes", len(names))
+                continue
+            b, args = payload
+            if segsum:
+                hist = abundance_histogram_segsum(
+                    hist, table, *args, k=c.kmer, window=c.window_size,
+                    vector_size=c.vector_size, overlap=overlap,
+                    n_groups=G)
+                thist = tnf_histogram_segsum(
+                    thist, *args, k=c.tnf_kmer, num_cols=ncols,
+                    overlap=overlap, n_groups=G)
             else:
-                hist = jnp.zeros(G * c.vector_size, jnp.int32)
-                thist = jnp.zeros(G * ncols, jnp.int32)
-            for b, args in self._device_chunk_batches(chunk.batches):
-                if segsum:
-                    hist = abundance_histogram_segsum(
-                        hist, table, *args, k=c.kmer, window=c.window_size,
-                        vector_size=c.vector_size, overlap=overlap,
-                        n_groups=G)
-                    thist = tnf_histogram_segsum(
-                        thist, *args, k=c.tnf_kmer, num_cols=ncols,
-                        overlap=overlap, n_groups=G)
-                else:
-                    hist = abundance_histogram(
-                        hist, table, *args, k=c.kmer, window=c.window_size,
-                        vector_size=c.vector_size, overlap=overlap)
-                    thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
-                                          num_cols=ncols, overlap=overlap)
-            names += chunk.names
-            abd_rows.append(hist)
-            tnf_rows.append(thist)
-            trims.append(chunk.num_groups)
-            log.info("group pass: %d barcodes", len(names))
+                hist = abundance_histogram(
+                    hist, table, *args, k=c.kmer, window=c.window_size,
+                    vector_size=c.vector_size, overlap=overlap)
+                thist = tnf_histogram(thist, lut, *args, k=c.tnf_kmer,
+                                      num_cols=ncols, overlap=overlap)
         if not names:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
@@ -296,18 +349,31 @@ class FeatureExtractor:
 
     # ---- sort-join fast path ----------------------------------------------
 
+    # Masked paired sort-join support: True on the single-device
+    # extractor (the weighted join, kernels/features.py §quality-masked);
+    # the sharded extractor keeps it off until its RLE routing carries
+    # weights (its paired input falls back to the table path, whose
+    # masked global pass it already shards).
+    _weighted_sortjoin = True
+
     def sortjoin_eligible(self, reads1: str, reads2: str,
                           interleaved: str) -> bool:
-        """Sort-join (kernels/features.py) is exact only when the global
-        k-mer multiset equals the group stream's: interleaved input (the
-        paired path quality-masks the global pass, src/feature.py:76-86)
-        and the whole window set fits on the device."""
+        """Sort-join (kernels/features.py) is exact when the global k-mer
+        multiset equals the group stream's — automatic on interleaved
+        input; on paired (-1/-2) input the quality-masked global pass
+        (src/feature.py:76-86) is reproduced by the WEIGHTED join, so
+        paired input is eligible wherever the weighted kernels are
+        (everywhere but the sharded extractor) — and the whole window set
+        fits on the device."""
         import jax
         c = self.cfg
         if c.hist_impl in ("scatter", "segsum"):
             return False
         if not interleaved:
-            return False
+            if not (reads1 and reads2):
+                return False
+            if c.min_qual_char and not self._weighted_sortjoin:
+                return False
         if c.kmer > 15:
             # sort-join is the ONLY large-k implementation (the dense 4^k
             # table and int32 window values stop at k=15); the overflow
@@ -323,20 +389,29 @@ class FeatureExtractor:
             # count_kmer.cpp:186-292, which streams arbitrarily large
             # inputs — the remaining bound is host RAM, as jellyfish's is
             return True
-        est_windows = self._estimate_stream_windows(interleaved)
+        est_windows = self._estimate_stream_windows(
+            interleaved if interleaved else (reads1, reads2))
         if est_windows is None:
             return False
         # 5% headroom: a wrong guess is not fatal (the mid-stream overflow
         # restart is graceful) but still costs the restart
         return est_windows * 21 // 20 <= self._sortjoin_window_cap()
 
-    def _estimate_stream_windows(self, interleaved: str) -> Optional[int]:
+    def _estimate_stream_windows(self, path_or_paths) -> Optional[int]:
         """Sorted-window count the sort-join would produce, estimated by
         parsing a decompressed prefix sample: records/compressed-byte and
         packed rows/record are measured, then scaled to the file size.
         Replaces the old gz-ratio guess (bytes*4/2), which assumed a fixed
         compression ratio and read length and could be off by >2x either
-        way. Exact (not an estimate) when the sample covers the file."""
+        way. Exact (not an estimate) when the sample covers the file.
+        A (reads1, reads2) tuple estimates each file and sums."""
+        if isinstance(path_or_paths, tuple):
+            parts = [self._estimate_stream_windows(p)
+                     for p in path_or_paths]
+            if any(p is None for p in parts):
+                return None
+            return sum(parts)
+        interleaved = path_or_paths
         import zlib
         c = self.cfg
         try:
@@ -380,28 +455,12 @@ class FeatureExtractor:
         est_batches = -(-est_rows // c.reads_per_batch)
         return est_batches * c.reads_per_batch * wrow
 
-    def _sortjoin_chunks(self, interleaved: str):
-        c = self.cfg
-        gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
-                         overlap=c.kmer - 1,
-                         reads_per_batch=c.reads_per_batch,
-                         keep_dropped=True)
-        use_native = False
-        if c.bug_compat_boundary_leak:
-            try:
-                from pangaea_tpu.native import native_available
-                use_native = native_available()
-            except Exception:
-                pass
-        if use_native:
-            from pangaea_tpu.io.fast_packing import native_group_chunks
-            return gp.groups_per_chunk, native_group_chunks(
-                interleaved, c.min_length, self.row_len,
-                c.reads_per_batch, gp.groups_per_chunk, keep_dropped=True)
-        groups = iter_barcode_groups(
-            iter_read_pairs_interleaved(interleaved),
-            bug_compat=c.bug_compat_boundary_leak)
-        return gp.groups_per_chunk, gp.iter_chunks(groups)
+    def _sortjoin_events(self, reads1: str, reads2: str, interleaved: str):
+        """Group events for the sort-join pass (keep_dropped: the global
+        counts must cover every read, like jellyfish over the whole
+        file — src/feature.py:76-86)."""
+        return self._group_events(reads1, reads2, interleaved,
+                                  keep_dropped=True)
 
     # Sort-join past the device window cap spills keys to host RAM and
     # joins one key-VALUE range at a time (VERDICT r1 item 4). The
@@ -409,7 +468,8 @@ class FeatureExtractor:
     # the mesh, and its overflow restarts on the key-range-sharded table.
     _host_spill = True
 
-    def group_features_sortjoin(self, interleaved: str
+    def group_features_sortjoin(self, reads1: str = "", reads2: str = "",
+                                interleaved: str = ""
                                 ) -> Tuple[np.ndarray, np.ndarray,
                                            np.ndarray]:
         """Single-pass features via the sort-join abundance kernel.
@@ -420,6 +480,14 @@ class FeatureExtractor:
         global count == abundance bin. Phase C replays the recorded
         seg_ids to histogram the bins per barcode. The FASTQ is read once
         (the table path reads it twice).
+
+        On paired (-1/-2) input with ``min_qual_char`` set, the join is
+        WEIGHTED: each window routes its unmasked key with weight 1 iff
+        no base of the window falls below the quality threshold, so run
+        weight sums reproduce jellyfish's --min-qual-char global counts
+        exactly (src/feature.py:76-86; see kernels/features.py
+        §quality-masked sort-join). ``count > 0`` then reproduces
+        count_kmer.cpp:87's absent-from-dump skip.
 
         Datasets whose window set exceeds ``sortjoin_max_windows`` run the
         same join CHUNKED: phase-A keys spill to host RAM (decided upfront
@@ -434,37 +502,71 @@ class FeatureExtractor:
         c = self.cfg
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
-        G, chunks = self._sortjoin_chunks(interleaved)
+        weighted = bool(reads1 and reads2 and c.min_qual_char)
+        G, events = self._sortjoin_events(reads1, reads2, interleaved)
         cap = self._sortjoin_window_cap()
         spill = False
         if self._host_spill:
-            est = self._estimate_stream_windows(interleaved)
+            est = self._estimate_stream_windows(
+                interleaved if interleaved else (reads1, reads2))
             if est is not None and est * 21 // 20 > cap:
                 log.info("sort-join host-spill mode: ~%d windows > device "
                          "cap %d", est, cap)
                 spill = True
+        rows = c.reads_per_batch
+        wrow = self.row_len - c.kmer + 1
         keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
-        chunk_meta = []  # (names, [seg_ids], thist)
+        part_rows: List[int] = []     # rows kept per part (pad-trimmed)
+        chunk_meta = []  # (names, [(seg_ids, kept_rows)], thist)
         total = 0
-        last_lengths = None
-        for chunk in prefetch(chunks):
-            thist = jnp.zeros((G, ncols), jnp.int32)
-            segs = []
-            for b, dev_args in self._device_chunk_batches(chunk.batches):
-                last_lengths = np.asarray(b.lengths)
-                codes, lengths, seg, cont = dev_args
+        thist = None
+        segs = []
+        # Every tail batch (a chunk's last, not just the stream's) carries
+        # trailing pad rows whose windows are pure sentinel sort cost —
+        # often the difference between landing just above vs below a pow2
+        # sort tier (+32% measured, sortjoin_pad_size). rows_used is
+        # recorded at pack time; the kept row count quantizes up to
+        # _TRIM_QUANTUM rows so the slice/re-pad ops keep a bounded set of
+        # compiled shapes while the histogram replay below re-pads each
+        # part to the uniform (rows, wrow) the jitted kernel expects.
+        for kind, payload in prefetch(self._device_event_batches(events),
+                                      depth=4):
+            if kind == "chunk":
+                chunk_meta.append((payload, segs,
+                                   thist if thist is not None else
+                                   jnp.zeros((G, ncols), jnp.int32)))
+                segs, thist = [], None
+                log.info("sortjoin pass A: %d barcodes, %d windows",
+                         sum(len(m[0]) for m in chunk_meta), total)
+                continue
+            b, dev_args = payload
+            codes, lengths, seg, cont = dev_args[:4]
+            if thist is None:
+                thist = jnp.zeros((G, ncols), jnp.int32)
+            kept_rows = rows
+            if b.rows_used < rows:
+                kept_rows = min(rows, -(-b.rows_used // _TRIM_QUANTUM)
+                                * _TRIM_QUANTUM)
+            if weighted:
+                lowq = (dev_args[4] if len(dev_args) > 4
+                        else jnp.zeros_like(codes))
+                words, wts = self._batch_keys_weighted(codes, lowq,
+                                                       lengths, cont)
+                part = words + (wts,)
+            else:
                 part = self._batch_keys(codes, lengths, cont)
-                if spill:
-                    part = tuple(np.asarray(w) for w in part)
-                keys_parts.append(part)
-                total += part[0].shape[0]
-                segs.append(seg)
-                thist = tnf_histogram_segsum(
-                    thist, codes, lengths, seg, cont, k=c.tnf_kmer,
-                    num_cols=ncols, overlap=overlap, n_groups=G)
-            chunk_meta.append((chunk.names, segs, thist))
-            log.info("sortjoin pass A: %d barcodes, %d windows",
-                     sum(len(m[0]) for m in chunk_meta), total)
+            if kept_rows < rows:
+                kw = kept_rows * wrow
+                part = tuple(w[:kw] for w in part)
+            if spill:
+                part = tuple(np.asarray(w) for w in part)
+            keys_parts.append(part)
+            part_rows.append(kept_rows)
+            total += part[0].shape[0]
+            segs.append((seg, kept_rows))
+            thist = tnf_histogram_segsum(
+                thist, codes, lengths, seg, cont, k=c.tnf_kmer,
+                num_cols=ncols, overlap=overlap, n_groups=G)
             if not spill and total > cap:
                 if not self._host_spill:
                     raise SortJoinOverflow(
@@ -477,65 +579,59 @@ class FeatureExtractor:
                 keys_parts = [tuple(np.asarray(w) for w in t)
                               for t in keys_parts]
                 spill = True
+        if thist is not None or segs:
+            # trailing batches with no closing chunk event (defensive;
+            # the packers always close)
+            chunk_meta.append(([], segs,
+                               thist if thist is not None else
+                               jnp.zeros((G, ncols), jnp.int32)))
         if not chunk_meta or total == 0:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
-        per_batch = keys_parts[0][0].shape[0]
-        rows = c.reads_per_batch
-        wrow = per_batch // rows
-        # Trim trailing pad ROWS of the final batch before the sort:
-        # their windows are all sentinels — pure sort cost, and often the
-        # difference between landing just above vs just below a pow2 sort
-        # tier (+32% measured, see sortjoin_pad_size). The replay below
-        # still walks a uniform per_batch stride: the bins vector is
-        # re-padded with -1 (= dropped window) up to the untrimmed total.
-        total_orig = total
-        if last_lengths is not None:
-            nz = np.nonzero(last_lengths)[0]
-            rows_used = int(nz[-1]) + 1 if nz.size else 0
-            tail = (last_lengths.shape[0] - rows_used) * wrow
-            if tail:
-                keys_parts[-1] = tuple(w[:w.shape[0] - tail]
-                                       for w in keys_parts[-1])
-                total -= tail
+        per_batch = rows * wrow
         if spill:
-            bins_host = self._chunked_sortjoin_bins(keys_parts)
+            bins_host = self._chunked_sortjoin_bins(keys_parts,
+                                                    weighted=weighted)
             del keys_parts
-            if bins_host.shape[0] < total_orig:
-                bins_host = np.concatenate(
-                    [bins_host, np.full(total_orig - bins_host.shape[0],
-                                        -1, np.int32)])
 
-            def bins_at(off):
-                return jnp.asarray(bins_host[off:off + per_batch])
+            def bins_at(off, kw):
+                s = bins_host[off:off + kw]
+                if kw < per_batch:
+                    s = np.concatenate(
+                        [s, np.full(per_batch - kw, -1, np.int32)])
+                return jnp.asarray(s)
         else:
             npad = self._sortjoin_pad_size(total)
             if npad > total:
-                keys_parts.append(self._sortjoin_pad_tuple(npad - total))
+                keys_parts.append(
+                    self._sortjoin_pad_tuple(npad - total,
+                                             weighted=weighted))
             nwords = len(keys_parts[0])
             keys = tuple(jnp.concatenate([p[i] for p in keys_parts])
                          for i in range(nwords))
             del keys_parts
-            bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow)
+            bins = self._sortjoin_bins_dispatch(keys, row_windows=wrow,
+                                                weighted=weighted)
             del keys
-            if bins.shape[0] < total_orig:
-                bins = jnp.concatenate(
-                    [bins, jnp.full(total_orig - bins.shape[0], -1,
-                                    jnp.int32)])
 
-            def bins_at(off):
-                return jax.lax.dynamic_slice(bins, (off,), (per_batch,))
+            def bins_at(off, kw):
+                s = jax.lax.dynamic_slice(bins, (off,), (kw,))
+                if kw < per_batch:
+                    s = jnp.concatenate(
+                        [s, jnp.full(per_batch - kw, -1, jnp.int32)])
+                return s
         names: List[str] = []
         abd_dev, tnf_dev, trims = [], [], []
         off = 0
         for cnames, segs, thist in chunk_meta:
             hist = jnp.zeros((G, c.vector_size), jnp.int32)
-            for seg in segs:
+            for seg, kept_rows in segs:
+                kw = kept_rows * wrow
                 hist = abundance_histogram_from_bins(
-                    hist, bins_at(off).reshape(rows, wrow), seg,
+                    hist, bins_at(off, kw).reshape(rows, wrow), seg,
                     vector_size=c.vector_size, n_groups=G)
-                off += per_batch
+                off += kw
             names += list(cnames)
             abd_dev.append(hist)
             tnf_dev.append(thist)
@@ -556,8 +652,8 @@ class FeatureExtractor:
         return (np.array(names), np.concatenate(abd_rows),
                 np.concatenate(tnf_rows))
 
-    def _chunked_sortjoin_bins(self, host_parts: List[Tuple[np.ndarray, ...]]
-                               ) -> np.ndarray:
+    def _chunked_sortjoin_bins(self, host_parts: List[Tuple[np.ndarray, ...]],
+                               weighted: bool = False) -> np.ndarray:
         """Exact sort-join over host-resident keys, one key-VALUE range at
         a time, each range within ``sortjoin_max_windows``.
 
@@ -575,10 +671,15 @@ class FeatureExtractor:
         larger, with a warning) — the join is still exact.
 
         Returns per-window abundance bins in stream order (-1 = masked or
-        out-of-range), matching :func:`sortjoin_bins` semantics.
+        out-of-range), matching :func:`sortjoin_bins` semantics. With
+        ``weighted`` each part carries a trailing weight word (the
+        quality-masked paired global join); weights ride the partition —
+        equal keys share a range, so per-range weight sums stay exact.
         """
         c = self.cfg
-        nw = len(host_parts[0])
+        nw = len(host_parts[0]) - (1 if weighted else 0)
+        w_all = (np.concatenate([p[-1] for p in host_parts])
+                 if weighted else None)
         if nw == 1:
             sent = np.int32(kmer_key_sentinel(c.kmer))
             v = np.concatenate([p[0] for p in host_parts])
@@ -647,8 +748,13 @@ class FeatureExtractor:
                 hi[:kv.size] = (kv >> np.uint64(32)).astype(np.uint32)
                 lo[:kv.size] = (kv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
                 words = (hi, lo)
+            if weighted:
+                wv = np.zeros(pad_n, np.int32)
+                wv[:kv.size] = w_all[idx]
+                words = words + (wv,)
             binsp = np.asarray(self._sortjoin_bins_dispatch(
-                tuple(jnp.asarray(w) for w in words), row_windows=None))
+                tuple(jnp.asarray(w) for w in words), row_windows=None,
+                weighted=weighted))
             bins_all[idx] = binsp[:kv.size]
             log.info("chunked sort-join: range %d/%d (%d windows) joined",
                      p + 1, len(counts), int(kv.size))
@@ -689,24 +795,79 @@ class FeatureExtractor:
         return batch_kmer_keys_pair(codes, lengths, cont, k=c.kmer,
                                     overlap=c.kmer - 1)
 
-    def _sortjoin_pad_tuple(self, n: int) -> Tuple[jnp.ndarray, ...]:
+    def _batch_keys_weighted(self, codes, lowq, lengths, cont
+                             ) -> Tuple[Tuple[jnp.ndarray, ...],
+                                        jnp.ndarray]:
+        """(key words, weights) for the quality-masked paired global join
+        (kernels/features.py §quality-masked sort-join)."""
+        c = self.cfg
+        from pangaea_tpu.kernels.features import (
+            batch_kmer_keys_pair_weighted, batch_kmer_keys_weighted)
+        if c.kmer <= 15:
+            keys, wts = batch_kmer_keys_weighted(
+                codes, lowq, lengths, cont, k=c.kmer, overlap=c.kmer - 1)
+            return (keys,), wts
+        words, wts = batch_kmer_keys_pair_weighted(
+            codes, lowq, lengths, cont, k=c.kmer, overlap=c.kmer - 1)
+        return words, wts
+
+    def _sortjoin_pad_tuple(self, n: int, weighted: bool = False
+                            ) -> Tuple[jnp.ndarray, ...]:
         c = self.cfg
         if c.kmer <= 15:
-            return (self._sortjoin_pad(n),)
-        from pangaea_tpu.kernels.features import kmer_key_sentinel_pair
-        shi, slo = kmer_key_sentinel_pair(c.kmer)
-        return (jnp.full(n, shi, jnp.uint32), jnp.full(n, slo, jnp.uint32))
+            words = (self._sortjoin_pad(n),)
+        else:
+            from pangaea_tpu.kernels.features import kmer_key_sentinel_pair
+            shi, slo = kmer_key_sentinel_pair(c.kmer)
+            words = (jnp.full(n, shi, jnp.uint32),
+                     jnp.full(n, slo, jnp.uint32))
+        if weighted:
+            words += (jnp.zeros(n, jnp.int32),)
+        return words
 
     def _sortjoin_bins_dispatch(self, keys: Tuple[jnp.ndarray, ...],
-                                row_windows: Optional[int] = None
-                                ) -> jnp.ndarray:
+                                row_windows: Optional[int] = None,
+                                weighted: bool = False) -> jnp.ndarray:
         c = self.cfg
         rg = (row_windows is not None and c.vector_size <= 511
               and keys[0].shape[0] // row_windows < (1 << 22))
+        rw = row_windows if rg else None
+        if weighted:
+            if len(keys) == 2:
+                return self._sortjoin_bins_weighted_single(keys, rw)
+            return self._sortjoin_bins_weighted_pair(keys, rw)
         if len(keys) == 1:
-            return self._sortjoin_bins_single(keys[0],
-                                              row_windows if rg else None)
-        return self._sortjoin_bins_pair(keys, row_windows if rg else None)
+            return self._sortjoin_bins_single(keys[0], rw)
+        return self._sortjoin_bins_pair(keys, rw)
+
+    def _sortjoin_bins_weighted_single(self, keys, row_windows
+                                       ) -> jnp.ndarray:
+        """Masked-global single-word bins: keys = (words, weights)."""
+        c = self.cfg
+        from pangaea_tpu.kernels.features import (
+            sortjoin_bins_weighted, sortjoin_bins_weighted_rowgrouped)
+        if row_windows is not None:
+            return sortjoin_bins_weighted_rowgrouped(
+                *keys, k=c.kmer, window=c.window_size,
+                vector_size=c.vector_size, row_windows=row_windows)
+        return sortjoin_bins_weighted(*keys, k=c.kmer,
+                                      window=c.window_size,
+                                      vector_size=c.vector_size)
+
+    def _sortjoin_bins_weighted_pair(self, keys, row_windows
+                                     ) -> jnp.ndarray:
+        """Masked-global split-word bins: keys = (hi, lo, weights)."""
+        c = self.cfg
+        from pangaea_tpu.kernels.features import (
+            sortjoin_bins_weighted_pair,
+            sortjoin_bins_weighted_pair_rowgrouped)
+        if row_windows is not None:
+            return sortjoin_bins_weighted_pair_rowgrouped(
+                *keys, k=c.kmer, window=c.window_size,
+                vector_size=c.vector_size, row_windows=row_windows)
+        return sortjoin_bins_weighted_pair(
+            *keys, k=c.kmer, window=c.window_size,
+            vector_size=c.vector_size)
 
     def _sortjoin_bins_pair(self, keys: Tuple[jnp.ndarray, ...],
                             row_windows: Optional[int]) -> jnp.ndarray:
@@ -739,9 +900,18 @@ class FeatureExtractor:
 
     def _device_batch(self, b):
         """Host batch -> device arrays; ShardedFeatureExtractor overrides
-        this with mesh placements."""
-        return (self._device_codes(b.codes), jnp.asarray(b.lengths),
+        this with mesh placements. A 5th element (the lowq plane) rides
+        along on the quality-masked paired path."""
+        args = (self._device_codes(b.codes), jnp.asarray(b.lengths),
                 jnp.asarray(b.seg_ids), jnp.asarray(b.cont))
+        if b.lowq is not None:
+            if self._pack_transfers and b.lowq.shape[1] % 8 == 0:
+                lq = _unpack_bits(jnp.asarray(np.packbits(
+                    b.lowq != 0, axis=1, bitorder="little")))
+            else:
+                lq = jnp.asarray(b.lowq)
+            args += (lq,)
+        return args
 
     # Host->device links are bandwidth-curved, not per-call: the SAME
     # 12 MiB measured 1143 ms as 15 x 800 KiB uploads but 295 ms as one
@@ -750,26 +920,37 @@ class FeatureExtractor:
     _upload_batches = 16
     _fuse_uploads = True  # ShardedFeatureExtractor keeps per-batch puts
 
-    def _device_chunk_batches(self, batches):
-        """Yield (host_batch, device_args) with all fields of up to
-        ``_upload_batches`` consecutive batches stacked into one
-        host->device transfer each; device-side slicing + 2-bit unpack
-        reproduce exactly what per-batch uploads produced, so every
-        kernel is unchanged. Falls back to per-batch uploads on the CPU
-        backend (no transfer to save), for lone batches, and in
-        subclasses that place arrays on a mesh."""
-        fuse = (self._fuse_uploads and self._pack_transfers
-                and len(batches) > 1
-                and batches[0].codes.shape[1] % 8 == 0)
-        if not fuse:
-            for b in batches:
-                yield b, self._device_batch(b)
+    def _device_event_batches(self, events):
+        """("batch", b) -> ("batch", (b, device_args)), passing "chunk"
+        events through in order.
+
+        Runs the event source (host parse + pack) in a producer thread
+        and fuses whatever run of consecutive batches is available RIGHT
+        NOW — 1 up to ``_upload_batches`` — into one stacked 2-bit-packed
+        host->device transfer (device-side slicing + unpack reproduce
+        exactly what per-batch uploads produced, so every kernel is
+        unchanged). Greedy fusion adapts to the bottleneck: a fast parser
+        yields big fused transfers; a slow one yields singles and the
+        pipeline never stalls waiting to fill a fusion group. Falls back
+        to per-batch uploads on the CPU backend (no transfer to save) and
+        in subclasses that place arrays on a mesh."""
+        if not (self._fuse_uploads and self._pack_transfers):
+            for kind, payload in events:
+                if kind == "batch":
+                    yield kind, (payload, self._device_batch(payload))
+                else:
+                    yield kind, payload
             return
-        step = self._upload_batches
-        for s in range(0, len(batches), step):
-            grp = batches[s:s + step]
-            if len(grp) == 1:
-                yield grp[0], self._device_batch(grp[0])
+        from pangaea_tpu.io.prefetch import greedy_runs
+        for item in greedy_runs(events, self._upload_batches,
+                                lambda ev: ev[0] == "batch"):
+            if not isinstance(item, list):
+                yield item
+                continue
+            grp = [ev[1] for ev in item]
+            if len(grp) == 1 or grp[0].codes.shape[1] % 8 != 0:
+                for b in grp:
+                    yield "batch", (b, self._device_batch(b))
                 continue
             packed_l, mask_l = zip(*(pack_codes_host(b.codes)
                                      for b in grp))
@@ -778,9 +959,17 @@ class FeatureExtractor:
             lengths = jnp.asarray(np.stack([b.lengths for b in grp]))
             segs = jnp.asarray(np.stack([b.seg_ids for b in grp]))
             conts = jnp.asarray(np.stack([b.cont for b in grp]))
+            lowq = None
+            if grp[0].lowq is not None:
+                lowq = jnp.asarray(np.stack(
+                    [np.packbits(b.lowq != 0, axis=1, bitorder="little")
+                     for b in grp]))
             for i, b in enumerate(grp):
-                yield b, (_unpack_codes(packed[i], mask[i]), lengths[i],
-                          segs[i], conts[i])
+                args = (_unpack_codes(packed[i], mask[i]),
+                        lengths[i], segs[i], conts[i])
+                if lowq is not None:
+                    args += (_unpack_bits(lowq[i]),)
+                yield "batch", (b, args)
 
     def _device_codes(self, codes: np.ndarray) -> jnp.ndarray:
         """Code-matrix transfer: 2-bit packed + invalid bitmask when the
@@ -803,10 +992,17 @@ class FeatureExtractor:
 
     @staticmethod
     def _write_csv_gz(path: str, names: np.ndarray, mat: np.ndarray) -> None:
-        with gzip.open(path, "wt") as f:
-            for name, row in zip(names, mat):
-                f.write(name + "," + ",".join(str(int(v)) for v in row)
-                        + "\n")
+        """Same bytes as the reference tools' gzipped CSV (name,c0,c1,...)
+        but written via pandas' C csv writer at gzip level 1: the naive
+        per-value ``str(int(v))`` loop cost 2.1 s for 3000x536 features —
+        over half the e2e feature wall (tools/profile_e2e.py); this writes
+        the identical decompressed bytes in ~0.3 s. Parity checks compare
+        decompressed content, so the compression level is free choice."""
+        import pandas as pd
+        df = pd.DataFrame(np.asarray(mat, dtype=np.int64))
+        df.insert(0, "name", np.asarray(names))
+        with gzip.open(path, "wt", compresslevel=1) as f:
+            df.to_csv(f, header=False, index=False, lineterminator="\n")
 
     @staticmethod
     def _read_csv_gz(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -819,13 +1015,23 @@ class FeatureExtractor:
         return np.array(names), np.array(rows, dtype=np.int32)
 
     def _save(self, names, abd, tnf) -> None:
-        import pandas as pd
+        # Only the gz CSVs — exactly what the reference's count_kmer /
+        # count_tnf binaries emit. The .pkl caches are written at load
+        # time (load_features), mirroring src/feature.py:115-119 where
+        # pd.read_csv(...).to_pickle happens in the Python load step,
+        # not in the extraction binaries.
         self._write_csv_gz(self.abd_gz, names, abd)
         self._write_csv_gz(self.tnf_gz, names, tnf)
-        # pandas pickles with the same layout as pd.read_csv(...).to_pickle
-        # (src/feature.py:115-119): column 0 = barcode, 1.. = counts
-        pd.DataFrame(np.column_stack([names, abd])).to_pickle(self.abd_pkl)
-        pd.DataFrame(np.column_stack([names, tnf])).to_pickle(self.tnf_pkl)
+
+    def _write_pkl(self, names, mat, path) -> None:
+        """Pickle layout of pd.read_csv(header=None).to_pickle
+        (src/feature.py:115-119): column 0 = barcode (object), columns
+        1.. = int64 counts."""
+        import pandas as pd
+        df = pd.DataFrame(np.asarray(mat, dtype=np.int64),
+                          columns=range(1, mat.shape[1] + 1))
+        df.insert(0, 0, np.asarray(names, dtype=object))
+        df.to_pickle(path)
 
     def _extract_inner(self, reads1: str, reads2: str, interleaved: str
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -833,16 +1039,17 @@ class FeatureExtractor:
         if c.kmer > 15:
             # the reference reaches k <= 31 through jellyfish -m + its
             # uint64 encode (count_kmer.cpp:79-86); here large k exists
-            # only as the split-word sort-join (no dense 4^k table, no
-            # quality-masked paired global pass)
+            # only as the split-word sort-join (no dense 4^k table);
+            # paired masked input runs the weighted pair join
             if not self.sortjoin_eligible(reads1, reads2, interleaved):
                 raise ValueError(
                     f"k={c.kmer} > 15 requires the sort-join path: pass "
-                    "interleaved input and hist_impl='auto'/'sortjoin' "
-                    "(the paired-reads quality-masked global pass and "
-                    "the dense table only exist for k <= 15)")
+                    "hist_impl='auto'/'sortjoin' (the dense table only "
+                    "exists for k <= 15; the sharded extractor "
+                    "additionally requires interleaved input)")
             try:
-                return self.group_features_sortjoin(interleaved)
+                return self.group_features_sortjoin(reads1, reads2,
+                                                    interleaved)
             except SortJoinOverflow as e:
                 raise RuntimeError(
                     f"k={c.kmer} > 15 has no table fallback; raise "
@@ -850,7 +1057,8 @@ class FeatureExtractor:
                     "or shard over more devices") from e
         if self.sortjoin_eligible(reads1, reads2, interleaved):
             try:
-                return self.group_features_sortjoin(interleaved)
+                return self.group_features_sortjoin(reads1, reads2,
+                                                    interleaved)
             except SortJoinOverflow as e:
                 log.warning("sort-join overflow (%s); restarting on the "
                             "streaming table path", e)
@@ -946,5 +1154,13 @@ class FeatureExtractor:
         else:
             names, abd = self._read_csv_gz(self.abd_gz)
             names_t, tnf = self._read_csv_gz(self.tnf_gz)
+            # write-through pkl cache, like src/feature.py:115-119 (the
+            # reference converts CSV -> pkl on first load, not at
+            # extraction)
+            try:
+                self._write_pkl(names, abd, self.abd_pkl)
+                self._write_pkl(names_t, tnf, self.tnf_pkl)
+            except OSError:
+                pass  # read-only feature dir: the CSVs remain the source
         assert (names == names_t).all()  # src/feature.py:35 invariant
         return names, abd, tnf

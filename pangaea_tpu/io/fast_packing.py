@@ -90,18 +90,25 @@ def _group_pairs(bcs: np.ndarray, prev_last: bytes
     return gid, pos, bcs[pos] if len(pos) else bcs[:0]
 
 
-def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
+def native_group_events(interleaved: str, min_len: int, max_read_len: int,
                         reads_per_batch: int, groups_per_chunk: int = 8192,
-                        pairs_per_buffer: int = 262144,
+                        pairs_per_buffer: int = 32768,
                         keep_dropped: bool = False
-                        ) -> Iterator[GroupChunk]:
-    """GroupChunk stream equivalent to GroupPacker.iter_chunks(
-    iter_barcode_groups(iter_read_pairs_interleaved(path))).
+                        ) -> Iterator[tuple]:
+    """("batch", PackedBatch) / ("chunk", names) event stream equivalent
+    to GroupPacker.iter_events(iter_barcode_groups(
+    iter_read_pairs_interleaved(path))).
+
+    Batches are emitted as soon as they fill (consumers pipeline parse ->
+    upload -> dispatch at batch granularity; the old whole-chunk
+    materialization stalled the device for the full host parse);
+    a "chunk" event closes the chunk the preceding batches belong to.
 
     keep_dropped=True emits filtered groups' reads as seg_id=-1 rows (for
     the sort-join path's jellyfish-equivalent global counts; see
     io/packing.GroupPacker)."""
     rd = _reader(interleaved, max_read_len, None)
+    R = reads_per_batch
 
     # carry state across buffers
     last_barcode = b""  # the reference's running last_barcode
@@ -111,38 +118,60 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
 
     # chunk assembly state
     chunk_names: List[str] = []
-    chunk_batches: List[PackedBatch] = []
     row_codes: List[np.ndarray] = []
     row_lengths: List[np.ndarray] = []
     row_segs: List[np.ndarray] = []
+    nrows = 0
 
-    def close_chunk() -> GroupChunk:
-        nonlocal chunk_names, chunk_batches, row_codes, row_lengths, row_segs
-        flush_rows()
-        chunk = GroupChunk(chunk_names, chunk_batches)
-        chunk_names, chunk_batches = [], []
-        return chunk
-
-    def flush_rows() -> None:
-        """Pack accumulated rows into fixed-size PackedBatches."""
-        nonlocal row_codes, row_lengths, row_segs
-        if not row_codes:
+    def add_rows(codes, lengths, segs) -> None:
+        nonlocal nrows
+        if len(lengths) == 0:
             return
+        row_codes.append(codes)
+        row_lengths.append(lengths)
+        row_segs.append(segs)
+        nrows += len(lengths)
+
+    def drain_rows(final: bool) -> List[PackedBatch]:
+        """Pack accumulated rows into fixed-size PackedBatches; keeps the
+        sub-batch remainder unless ``final`` (then pads it)."""
+        nonlocal row_codes, row_lengths, row_segs, nrows
+        if nrows == 0 or (nrows < R and not final):
+            return []
         codes = np.concatenate(row_codes)
         lengths = np.concatenate(row_lengths)
         segs = np.concatenate(row_segs)
         row_codes, row_lengths, row_segs = [], [], []
-        R = reads_per_batch
-        for start in range(0, len(lengths), R):
-            n = min(R, len(lengths) - start)
-            bc = np.full((R, max_read_len), 4, np.uint8)
-            bc[:n] = codes[start:start + n]
-            bl = np.zeros(R, np.int32)
-            bl[:n] = lengths[start:start + n]
-            bs = np.full(R, -1, np.int32)
-            bs[:n] = segs[start:start + n]
-            chunk_batches.append(PackedBatch(bc, bl, bs,
-                                             np.zeros(R, np.uint8)))
+        nrows = 0
+        out = []
+        full_end = (len(lengths) // R) * R
+        for start in range(0, full_end, R):
+            out.append(PackedBatch(codes[start:start + R],
+                                   lengths[start:start + R],
+                                   segs[start:start + R],
+                                   np.zeros(R, np.uint8)))
+        rest = len(lengths) - full_end
+        if rest:
+            if final:
+                bc = np.full((R, max_read_len), 4, np.uint8)
+                bc[:rest] = codes[full_end:]
+                bl = np.zeros(R, np.int32)
+                bl[:rest] = lengths[full_end:]
+                bs = np.full(R, -1, np.int32)
+                bs[:rest] = segs[full_end:]
+                out.append(PackedBatch(bc, bl, bs, np.zeros(R, np.uint8),
+                                       rows_used=rest))
+            else:
+                add_rows(codes[full_end:], lengths[full_end:],
+                         segs[full_end:])
+        return out
+
+    def close_chunk():
+        nonlocal chunk_names
+        for b in drain_rows(final=True):
+            yield "batch", b
+        yield "chunk", chunk_names
+        chunk_names = []
 
     def emit_groups(codes, lengths, bcs, final: bool):
         """Process complete pairs; returns leftover tail (open group)."""
@@ -189,10 +218,8 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
             if keep_dropped:
                 drop_rows = np.repeat(~kept[gid], 2)
                 if drop_rows.any():
-                    row_codes.append(codes[drop_rows])
-                    row_lengths.append(lengths[drop_rows])
-                    row_segs.append(np.full(int(drop_rows.sum()), -1,
-                                            np.int32))
+                    add_rows(codes[drop_rows], lengths[drop_rows],
+                             np.full(int(drop_rows.sum()), -1, np.int32))
             # assign chunk-local ids slice-wise so a chunk never mixes
             # ids from two chunks when it fills mid-buffer
             kept_idx = np.flatnonzero(kept)
@@ -208,12 +235,11 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
                 read_seg = np.repeat(pair_seg, 2)
                 keep_rows = read_seg >= 0
                 if keep_rows.any():
-                    row_codes.append(codes[keep_rows])
-                    row_lengths.append(lengths[keep_rows])
-                    row_segs.append(read_seg[keep_rows])
+                    add_rows(codes[keep_rows], lengths[keep_rows],
+                             read_seg[keep_rows])
                 i += len(take)
                 if len(chunk_names) == groups_per_chunk:
-                    yield close_chunk()
+                    yield from close_chunk()
         if open_codes is not None:
             return open_codes, open_lengths, open_bcs
         return None
@@ -229,9 +255,8 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
             codes, lengths, bcs = out
             if len(lengths) % 2:  # trailing unpaired record: drop
                 if keep_dropped:  # ... but it still counts globally
-                    row_codes.append(codes[-1:])
-                    row_lengths.append(lengths[-1:])
-                    row_segs.append(np.full(1, -1, np.int32))
+                    add_rows(codes[-1:], lengths[-1:],
+                             np.full(1, -1, np.int32))
                 codes, lengths, bcs = codes[:-1], lengths[:-1], bcs[:-1]
             if int(lengths.max(initial=0)) > max_read_len:
                 rd.close()
@@ -248,10 +273,27 @@ def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
         carry_codes = carry_lengths = carry_bcs = None
 
         tail = yield from emit_groups(codes, lengths, bcs, final)
+        # eager emission: every complete batch ships now, so the consumer
+        # pipeline overlaps device uploads with the next buffer's parse
+        for b in drain_rows(final=False):
+            yield "batch", b
         if final:
             break
         if tail is not None:
             carry_codes, carry_lengths, carry_bcs = tail
     rd.close()
-    if chunk_names or row_codes:
-        yield close_chunk()
+    if chunk_names or nrows:
+        yield from close_chunk()
+
+
+def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,
+                        reads_per_batch: int, groups_per_chunk: int = 8192,
+                        pairs_per_buffer: int = 32768,
+                        keep_dropped: bool = False
+                        ) -> Iterator[GroupChunk]:
+    """Materialized GroupChunk adapter over :func:`native_group_events`
+    (equivalent to GroupPacker.iter_chunks of the same stream)."""
+    from pangaea_tpu.io.packing import events_to_chunks
+    yield from events_to_chunks(native_group_events(
+        interleaved, min_len, max_read_len, reads_per_batch,
+        groups_per_chunk, pairs_per_buffer, keep_dropped))

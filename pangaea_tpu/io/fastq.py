@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from dataclasses import dataclass
 from typing import Iterable, Iterator, Optional, Tuple
 
@@ -109,33 +110,172 @@ def iter_paired_pairs(path1: str, path2: str) -> Iterator[Tuple[FastqRecord, Fas
         yield r1, next(it2)
 
 
-def barcode_sort_interleaved(in_path: str, out_path: str) -> None:
-    """Sort an interleaved FASTQ by barcode tag, unbarcoded last.
+import re as _re
 
-    Reproduces the awk | LANG=C sort pipeline of src/run_pangaea:237-252:
-    the sort key is the literal ``BX:Z:<barcode>`` token (or ``~~~`` when
-    absent), and ties fall back to whole-record byte order (GNU sort
-    without -s compares the full line as last resort). Divergence: the
-    reference pipeline joins record lines with tabs and later ``tr``s every
-    tab back to newline, which corrupts headers that themselves contain a
-    tab before the BX:Z tag (e.g. preprocess_stlfr output); here records
-    are kept as 8-line blocks, so tab headers survive intact.
+_BX_RX = _re.compile(rb"BX:Z:[^ \t\r\n]+")
+
+
+def _iter_sort_lines(in_path: str):
+    """Yield one NUL-joined bytes line per 8-line record:
+    ``tag\\x00l1\\x00...\\x00l8``. NUL is below every printable FASTQ
+    byte, so comparing whole joined lines bytewise (LANG=C) equals
+    comparing the (tag, l1, ..., l8) tuple lexicographically — the sort
+    order of the reference's ``LANG=C sort -k1,1`` with its whole-line
+    tie-break (src/run_pangaea:237-252). Bulk chunk splits, not per-line
+    iteration: this conversion is the sort's host bottleneck."""
+    opener = (gzip.open(in_path, "rb") if str(in_path).endswith(".gz")
+              else open(in_path, "rb"))
+    nul = b"\x00"
+    with opener as f:
+        carry = b""
+        lines_buf: list = []
+        while True:
+            data = f.read(8 << 20)
+            if not data:
+                break
+            parts = (carry + data).split(b"\n")
+            carry = parts.pop()
+            lines_buf.extend(parts)
+            n8 = (len(lines_buf) // 8) * 8
+            for i in range(0, n8, 8):
+                m = _BX_RX.search(lines_buf[i])
+                tag = m.group(0) if m else b"~~~"
+                yield tag + nul + nul.join(lines_buf[i:i + 8])
+            del lines_buf[:n8]
+        # trailing partial record (fewer than 8 lines) is dropped, like
+        # the reference's awk block loop
+
+
+def _emit_record(line: bytes) -> bytes:
+    return line[line.index(b"\x00") + 1:].replace(b"\x00", b"\n") + b"\n"
+
+
+def _open_out(out_path: str):
+    return (gzip.open(out_path, "wb", compresslevel=1)
+            if str(out_path).endswith(".gz") else
+            open(out_path, "wb", buffering=1 << 20))
+
+
+def barcode_sort_interleaved(in_path: str, out_path: str,
+                             mem_limit: int = 512 << 20,
+                             tmp_dir: Optional[str] = None,
+                             backend: str = "auto") -> None:
+    """Sort an interleaved FASTQ by barcode tag, unbarcoded last — as an
+    EXTERNAL sort, so step 0 handles genome-scale files in bounded
+    memory exactly like the reference's disk-backed ``LANG=C sort``
+    (src/run_pangaea:237-252).
+
+    backend='gnu' (default when available) streams NUL-joined record
+    lines through ``LANG=C sort -S<mem> -T<tmp>`` — the very tool the
+    reference uses, with its run spilling and multi-way merge;
+    backend='python' is a dependency-free fallback (sorted run files +
+    heapq k-way merge) with identical output.
+
+    Order reproduced from the reference awk | sort pipeline: the key is
+    the literal ``BX:Z:<barcode>`` token (``~~~`` when absent), ties
+    fall back to whole-record byte order (GNU sort without -s compares
+    the full line last). Divergence kept from r1: the reference joins
+    record lines with tabs and ``tr``s every tab back to newline,
+    corrupting headers that contain a tab before the BX:Z tag (e.g.
+    preprocess_stlfr output); here records travel as intact 8-line
+    blocks.
     """
-    entries = []
-    with open_maybe_gzip(in_path) as f:
-        lines = f.read().splitlines()
-    for i in range(0, len(lines) - 7, 8):
-        block = lines[i:i + 8]
-        header = lines[i]
-        tag = "~~~"
-        p = header.find("BX:Z:")
-        if p != -1:
-            e = p
-            while e < len(header) and not header[e].isspace():
-                e += 1
-            tag = header[p:e]
-        entries.append((tag, block))
-    entries.sort(key=lambda t: (t[0], t[1]))
-    with open(out_path, "w") as out:
-        for _, block in entries:
-            out.write("\n".join(block) + "\n")
+    import shutil
+    if backend == "auto":
+        backend = "gnu" if shutil.which("sort") else "python"
+    if backend == "gnu":
+        _gnu_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
+    else:
+        _python_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
+
+
+def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
+                      tmp_dir: Optional[str]) -> None:
+    import subprocess
+    import tempfile
+    import threading
+
+    with tempfile.TemporaryDirectory(prefix="bcsort_",
+                                     dir=tmp_dir) as td:
+        env = dict(os.environ, LANG="C", LC_ALL="C")
+        proc = subprocess.Popen(
+            ["sort", f"-S{max(16, mem_limit >> 20)}M", "-T", td],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
+        err: list = []
+
+        def feed():
+            try:
+                for line in _iter_sort_lines(in_path):
+                    proc.stdin.write(line)
+                    proc.stdin.write(b"\n")
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                err.append(e)
+                proc.kill()
+            finally:
+                try:
+                    proc.stdin.close()
+                except OSError:
+                    pass
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        with _open_out(out_path) as out:
+            for raw in proc.stdout:
+                out.write(_emit_record(raw[:-1]))
+        t.join()
+        rc = proc.wait()
+        if err:
+            raise err[0]
+        if rc:
+            raise RuntimeError(f"sort exited {rc}")
+
+
+def _python_barcode_sort(in_path: str, out_path: str, mem_limit: int,
+                         tmp_dir: Optional[str]) -> None:
+    import heapq
+    import shutil
+    import tempfile
+
+    run_dir = None
+    run_paths: list = []
+    buf: list = []
+    size = 0
+
+    def flush_run():
+        nonlocal run_dir, buf, size
+        if not buf:
+            return
+        if run_dir is None:
+            run_dir = tempfile.mkdtemp(prefix="bcsort_", dir=tmp_dir)
+        buf.sort()
+        path = os.path.join(run_dir, f"run{len(run_paths)}")
+        with open(path, "wb") as f:
+            f.write(b"\n".join(buf) + b"\n")
+        run_paths.append(path)
+        buf = []
+        size = 0
+
+    try:
+        for line in _iter_sort_lines(in_path):
+            buf.append(line)
+            size += len(line) + 57  # ~CPython bytes-object overhead
+            if size >= mem_limit:
+                flush_run()
+        with _open_out(out_path) as out:
+            if not run_paths:  # fits in memory: sort in place
+                buf.sort()
+                for line in buf:
+                    out.write(_emit_record(line))
+                return
+            flush_run()
+
+            def run_lines(path):
+                with open(path, "rb") as f:
+                    for raw in f:
+                        yield raw[:-1]
+
+            for line in heapq.merge(*(run_lines(p) for p in run_paths)):
+                out.write(_emit_record(line))
+    finally:
+        if run_dir is not None:
+            shutil.rmtree(run_dir, ignore_errors=True)

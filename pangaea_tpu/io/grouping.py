@@ -39,6 +39,12 @@ class ReadPair:
     seq2: str
     qual1: str = ""
     qual2: str = ""
+    # paired (-1/-2) mode: R1/R2 name or barcode disagreed. The reference
+    # skips such pairs from GROUPING entirely (count_kmer.cpp:195-197)
+    # without touching last_barcode, but jellyfish still counts their
+    # bases (it reads the raw files) — so the sort-join path must keep
+    # them in the stream as global-only (seg -1) reads.
+    mismatched: bool = False
 
 
 def iter_read_pairs_interleaved(path: str) -> Iterator[ReadPair]:
@@ -50,12 +56,19 @@ def iter_read_pairs_interleaved(path: str) -> Iterator[ReadPair]:
 
 def iter_read_pairs_paired(path1: str, path2: str,
                            drop_unpaired: bool = True) -> Iterator[ReadPair]:
+    """drop_unpaired=True reproduces count_kmer.cpp:195-197 (mismatched
+    pairs vanish); False yields them flagged ``mismatched`` so grouping
+    can route them as global-only reads (jellyfish parity)."""
     parser = BarcodeParser()
     for r1, r2 in iter_paired_pairs(path1, path2):
         n1, b1 = parser.parse(r1.header)
         n2, b2 = parser.parse(r2.header)
-        if drop_unpaired and (n1 != n2 or b1 != b2):
-            continue  # count_kmer.cpp:195-197
+        if n1 != n2 or b1 != b2:
+            if drop_unpaired:
+                continue  # count_kmer.cpp:195-197
+            yield ReadPair(n1, b1, r1.seq, r2.seq, r1.qual, r2.qual,
+                           mismatched=True)
+            continue
         yield ReadPair(n1, b1, r1.seq, r2.seq, r1.qual, r2.qual)
 
 
@@ -72,17 +85,37 @@ def iter_barcode_groups(pairs: Iterable[ReadPair],
     if bug_compat:
         last_barcode = ""
         acc: List[ReadPair] = []
+        side: List[ReadPair] = []  # mismatched pairs: global-only
         for p in pairs:
+            if p.mismatched:
+                # skipped before grouping (count_kmer.cpp:195-197):
+                # never touches last_barcode/acc; emitted as ""-barcode
+                # groups, which downstream drops (empty barcode) — with
+                # keep_dropped their reads stay in the stream as seg -1
+                side.append(p)
+                if len(side) >= 512:
+                    yield "", side
+                    side = []
+                continue
             acc.append(p)
             if p.barcode != last_barcode:
                 yield last_barcode, acc
                 last_barcode = p.barcode
                 acc = []
+        if side:
+            yield "", side
         yield last_barcode, acc  # final flush (count_kmer.cpp:280)
     else:
         last_barcode = None
         acc = []
+        side = []
         for p in pairs:
+            if p.mismatched:
+                side.append(p)
+                if len(side) >= 512:
+                    yield "", side
+                    side = []
+                continue
             if last_barcode is None:
                 last_barcode = p.barcode
             if p.barcode != last_barcode:
@@ -90,6 +123,8 @@ def iter_barcode_groups(pairs: Iterable[ReadPair],
                 last_barcode = p.barcode
                 acc = []
             acc.append(p)
+        if side:
+            yield "", side
         if last_barcode is not None:
             yield last_barcode, acc
 

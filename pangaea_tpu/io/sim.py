@@ -42,6 +42,7 @@ def simulate_linked_reads(
     read_len: int = 150,
     insert_len: int = 400,
     error_rate: float = 0.0,
+    low_qual_rate: float = 0.0,
     seed: int = 0,
     fmt: str = "10x",
 ) -> SimResult:
@@ -50,6 +51,13 @@ def simulate_linked_reads(
     fmt='10x' emits headers ``@<name>\\tBX:Z:<barcode>-1`` (the post-
     preprocessing format the reference pipeline consumes); fmt='stlfr'
     emits ``@<name>#<barcode>/1``.
+
+    ``error_rate`` substitutes bases uniformly; ``low_qual_rate`` draws
+    that fraction of per-base qualities below '?' (ASCII 63, jellyfish's
+    --min-qual-char threshold on the paired path) and the rest at or
+    above it — heterogeneous quality strings exercise the masked global
+    pass. Errored bases always get a low quality (the realistic
+    correlation, and it makes masking matter).
     """
     rng = np.random.default_rng(seed)
     # Species get distinct base-composition biases (Dirichlet-sampled) so
@@ -76,14 +84,21 @@ def simulate_linked_reads(
     props = rng.dirichlet(np.full(n_species, 2.0))
     barcode_species = {bc: int(rng.choice(n_species, p=props)) for bc in bcs}
 
-    def mutate(s: str) -> str:
-        if error_rate <= 0:
-            return s
-        chars = list(s)
-        for i in range(len(chars)):
-            if rng.random() < error_rate:
-                chars[i] = "ACGT"[int(rng.integers(0, 4))]
-        return "".join(chars)
+    def mutate(s: str) -> Tuple[str, str]:
+        """(sequence, quality). Errored positions get low quality."""
+        n = len(s)
+        if error_rate <= 0 and low_qual_rate <= 0:
+            return s, "I" * n
+        errs = (rng.random(n) < error_rate if error_rate > 0
+                else np.zeros(n, bool))
+        chars = np.frombuffer(s.encode(), np.uint8).copy()
+        if errs.any():
+            chars[errs] = _BASES[rng.integers(0, 4, int(errs.sum()))]
+        low = errs | (rng.random(n) < low_qual_rate)
+        qual = np.where(low,
+                        rng.integers(33, 63, n),   # below '?' (63)
+                        rng.integers(63, 75, n)).astype(np.uint8)
+        return chars.tobytes().decode(), qual.tobytes().decode()
 
     def opener(path):
         return (gzip.open(path, "wt") if path.endswith(".gz")
@@ -100,8 +115,8 @@ def simulate_linked_reads(
             for p in range(pairs_per_barcode):
                 pos = int(rng.integers(0, len(g) - insert_len))
                 frag = g[pos:pos + insert_len]
-                r1 = mutate(frag[:read_len])
-                r2 = mutate(_revcomp(frag[-read_len:]))
+                r1, q1 = mutate(frag[:read_len])
+                r2, q2 = mutate(_revcomp(frag[-read_len:]))
                 name = f"read_{bc}_{p}"
                 if fmt == "10x":
                     h1 = f"@{name}\tBX:Z:{bc}-1"
@@ -109,13 +124,12 @@ def simulate_linked_reads(
                 else:
                     h1 = f"@{name}#{bc}/1"
                     h2 = f"@{name}#{bc}/2"
-                q = "I" * read_len
                 if fi:
-                    fi.write(f"{h1}\n{r1}\n+\n{q}\n{h2}\n{r2}\n+\n{q}\n")
+                    fi.write(f"{h1}\n{r1}\n+\n{q1}\n{h2}\n{r2}\n+\n{q2}\n")
                 if f1:
-                    f1.write(f"{h1}\n{r1}\n+\n{q}\n")
+                    f1.write(f"{h1}\n{r1}\n+\n{q1}\n")
                 if f2:
-                    f2.write(f"{h2}\n{r2}\n+\n{q}\n")
+                    f2.write(f"{h2}\n{r2}\n+\n{q2}\n")
                 n_pairs += 1
     finally:
         for f in (fi, f1, f2):

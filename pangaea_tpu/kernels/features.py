@@ -279,10 +279,10 @@ def abundance_histogram_segsum(hist: jax.Array, table: jax.Array,
 # Exactness: in the unmasked single-stream case the reference's
 # `count > 0` check (count_kmer.cpp:87) is automatic — every group-pass
 # k-mer was itself counted, so its run length is >= 1. Quality-masked
-# global counting (the paired-reads path, --min-qual-char) is NOT
-# eligible: masked windows count globally but not per-group, so the
-# multiset differs; features.FeatureExtractor falls back to the table
-# path there.
+# global counting (the paired-reads path, --min-qual-char) runs the
+# WEIGHTED join instead (see §quality-masked sort-join below): the
+# masked global multiset is recovered from per-window weights, no
+# second element set or table needed.
 # ---------------------------------------------------------------------------
 
 
@@ -303,17 +303,17 @@ def sortjoin_pad_size(n: int) -> int:
     headline 33.9M-window shape a 4M quantum re-added 11% sentinels,
     silently eating the auto_row_len win.
 
-    One exception: lax.sort steps ~32% just past each pow2 boundary
-    (measured v5e, tools/ab_sort_pad.py: 2^25 int32 = 90 ms but
-    2^25+1M = 118 ms, 2.69 -> 3.42 ns/elem), so when a pow2 lies
-    between n and the next 1M multiple, pad to the pow2 and stay under
-    the step."""
+    lax.sort steps ~32% just past each pow2 boundary (measured v5e,
+    tools/ab_sort_pad.py: 2^25 int32 = 90 ms but 2^25+1M = 118 ms,
+    2.69 -> 3.42 ns/elem) — trimming the tail-batch pad windows
+    (features._TRIM_QUANTUM) is what keeps n under the tier. No special
+    pow2 case is needed here: the quantum is itself a power of two, so
+    every pow2 >= 1M is already a grid point (a pow2 strictly between n
+    and the next 1M multiple cannot exist)."""
     if n <= _SORTJOIN_PAD_QUANTUM:
         return 1 << max(0, (n - 1)).bit_length()
     q = _SORTJOIN_PAD_QUANTUM
-    grid = ((n + q - 1) // q) * q
-    p2 = 1 << (n - 1).bit_length()
-    return p2 if p2 < grid else grid
+    return ((n + q - 1) // q) * q
 
 
 @functools.partial(jax.jit, static_argnames=("k", "overlap"))
@@ -423,6 +423,134 @@ def sortjoin_bins_rowgrouped(keys: jax.Array, *, k: int, window: int,
     count = run_end - run_start + 1
     bins = count // jnp.int32(window)
     ok = (sk < kmer_key_sentinel(k)) & (bins < vector_size)
+    return _rowgrouped_restore(srow, jnp.where(ok, bins, -1))
+
+
+# ---- quality-masked (weighted) sort-join --------------------------------
+#
+# The paired-reads path quality-masks the GLOBAL count only: jellyfish
+# runs with --min-qual-char=? (src/feature.py:76-86, bases below '?'
+# become N before counting) while count_kmer's group scan reads raw
+# bases and just looks counts up (count_kmer.cpp:87). Masking never maps
+# one valid k-mer to another — a masked base makes the window invalid —
+# so the masked global count of key K is exactly the number of K's
+# instances whose window contains no masked base. One weighted sort
+# therefore serves both sides: every window routes its UNMASKED key as
+# the query, carrying weight 1 iff the window survives masking; the run
+# weight sum is the jellyfish masked count, and `count > 0` reproduces
+# the "absent from the dump" skip. No second element set, no table.
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overlap"))
+def batch_kmer_keys_weighted(codes: jax.Array, lowq: jax.Array,
+                             lengths: jax.Array, cont: jax.Array, *,
+                             k: int, overlap: int):
+    """(keys, weights) per window: keys as :func:`batch_kmer_keys`
+    (unmasked), weight 1 iff the window is valid AFTER quality masking
+    (no invalid base and no low-quality base among its k bases —
+    jellyfish --min-qual-char semantics). ``lowq``: (R, L) nonzero where
+    quality < min_qual_char."""
+    from pangaea_tpu.kernels.encode import _window_validity
+    skip = cont.astype(jnp.int32) * max(0, overlap - (k - 1))
+    vals, valid = kmer_window_values(codes, lengths, k, win_skip=skip)
+    canon = canonical_kmers(vals, k)
+    keys = jnp.where(valid, canon, jnp.int32(kmer_key_sentinel(k)))
+    masked = jnp.where(lowq != 0, jnp.uint8(4), codes).astype(jnp.int32)
+    wvalid = _window_validity(masked, lengths, k, keys.shape[1], skip)
+    return keys.ravel(), wvalid.astype(jnp.int32).ravel()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overlap"))
+def batch_kmer_keys_pair_weighted(codes: jax.Array, lowq: jax.Array,
+                                  lengths: jax.Array, cont: jax.Array, *,
+                                  k: int, overlap: int):
+    """Split-word twin of :func:`batch_kmer_keys_weighted` for
+    15 < k <= 31: ((hi, lo), weights)."""
+    from pangaea_tpu.kernels.encode import (_window_validity,
+                                            canonical_kmers_pair,
+                                            kmer_window_values_pair)
+    skip = cont.astype(jnp.int32) * max(0, overlap - (k - 1))
+    hi, lo, valid = kmer_window_values_pair(codes, lengths, k,
+                                            win_skip=skip)
+    chi, clo = canonical_kmers_pair(hi, lo, k)
+    shi, slo = kmer_key_sentinel_pair(k)
+    keys_hi = jnp.where(valid, chi, jnp.uint32(shi)).ravel()
+    keys_lo = jnp.where(valid, clo, jnp.uint32(slo)).ravel()
+    masked = jnp.where(lowq != 0, jnp.uint8(4), codes).astype(jnp.int32)
+    wvalid = _window_validity(masked, lengths, k, valid.shape[1], skip)
+    return (keys_hi, keys_lo), wvalid.astype(jnp.int32).ravel()
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
+def sortjoin_bins_weighted(keys: jax.Array, weights: jax.Array, *, k: int,
+                           window: int, vector_size: int) -> jax.Array:
+    """Masked-global sort-join: per-window abundance bin in original
+    order where the global count is the window's run WEIGHT SUM (-1 for
+    invalid windows, keys absent from the masked global multiset
+    [count 0], or bin >= vector_size). Exact-order public twin of the
+    distributed core :func:`_sortjoin_bins_weighted`."""
+    return _sortjoin_bins_weighted(keys, weights, k, window, vector_size)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
+                                             "row_windows"))
+def sortjoin_bins_weighted_rowgrouped(keys: jax.Array, weights: jax.Array,
+                                      *, k: int, window: int,
+                                      vector_size: int, row_windows: int
+                                      ) -> jax.Array:
+    """Row-grouped twin of :func:`sortjoin_bins_weighted` (packed
+    single-operand restore, see :func:`sortjoin_bins_rowgrouped`)."""
+    assert vector_size <= 511
+    n = keys.shape[0]
+    assert n // row_windows < (1 << 22)
+    rowidx = jnp.arange(n, dtype=jnp.int32) // jnp.int32(row_windows)
+    sk, sw, srow = jax.lax.sort((keys, weights, rowidx), num_keys=1)
+    start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    cw = pscan.cumsum(sw)
+    excl = cw - sw
+    run_before = pscan.cummax(jnp.where(start, excl, 0))
+    run_total = pscan.cummin_reverse(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max))
+    count = run_total - run_before
+    bins = count // jnp.int32(window)
+    ok = (sk < kmer_key_sentinel(k)) & (count > 0) & (bins < vector_size)
+    return _rowgrouped_restore(srow, jnp.where(ok, bins, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size"))
+def sortjoin_bins_weighted_pair(hi: jax.Array, lo: jax.Array,
+                                weights: jax.Array, *, k: int, window: int,
+                                vector_size: int) -> jax.Array:
+    """Split-word twin of :func:`sortjoin_bins_weighted`."""
+    return _sortjoin_bins_weighted_pair(hi, lo, weights, k, window,
+                                        vector_size)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "vector_size",
+                                             "row_windows"))
+def sortjoin_bins_weighted_pair_rowgrouped(
+        hi: jax.Array, lo: jax.Array, weights: jax.Array, *, k: int,
+        window: int, vector_size: int, row_windows: int) -> jax.Array:
+    """Row-grouped split-word masked-global sort-join."""
+    assert vector_size <= 511
+    n = hi.shape[0]
+    assert n // row_windows < (1 << 22)
+    rowidx = jnp.arange(n, dtype=jnp.int32) // jnp.int32(row_windows)
+    shi, slo, sw, srow = jax.lax.sort((hi, lo, weights, rowidx),
+                                      num_keys=2)
+    start = jnp.concatenate(
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    cw = pscan.cumsum(sw)
+    excl = cw - sw
+    run_before = pscan.cummax(jnp.where(start, excl, 0))
+    run_total = pscan.cummin_reverse(
+        jnp.where(end, cw, jnp.iinfo(jnp.int32).max))
+    count = run_total - run_before
+    bins = count // jnp.int32(window)
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    ok = (shi < jnp.uint32(sent_hi)) & (count > 0) & (bins < vector_size)
     return _rowgrouped_restore(srow, jnp.where(ok, bins, -1))
 
 

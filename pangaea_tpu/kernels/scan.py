@@ -16,10 +16,10 @@ Order convention: the 1-D array is reshaped row-major to (G*R, 128), so
 linear element order is lanes-fastest — each block scans its rows left
 to right, rows top to bottom, matching the flat order exactly.
 
-Used on the TPU backend only (`use_pallas_scan()`); every other backend
-falls back to `lax.associative_scan`-based XLA ops, and
-`tests/test_scan_kernel.py` pins the kernel itself bit-equal to numpy
-under the Pallas interpreter. Reference contract: these scans implement
+Used on the TPU backend only (`scan_impl()` resolves the branch per
+lowering platform); every other backend falls back to
+`lax.associative_scan`-based XLA ops, and `tests/test_scan_kernel.py`
+pins the kernel itself bit-equal to numpy under the Pallas interpreter. Reference contract: these scans implement
 the run-boundary fill of count_kmer.cpp:55-108's per-barcode histogram
 join (see kernels/features.py §sort-join) — the semantics live there;
 this module is pure TPU plumbing.
@@ -52,7 +52,10 @@ def scan_impl() -> str:
     registered, a computation jitted over a virtual CPU mesh (the
     multichip dryrun, mixed-backend tests) still reports 'tpu' as the
     default backend. PANGAEA_SCAN_IMPL=xla|pallas forces a branch for
-    A/Bs."""
+    A/Bs — set it BEFORE the first use in a process: the env var is read
+    at trace time and the jit cache does not key on it, so flipping it
+    after the first compile silently keeps the compiled branch (use a
+    fresh process per A/B arm)."""
     return os.environ.get("PANGAEA_SCAN_IMPL", "auto")
 
 

@@ -368,6 +368,10 @@ class ShardedFeatureExtractor(FeatureExtractor):
     # fused chunk uploads would bypass this class's per-batch mesh
     # placements (_device_batch override); keep per-batch puts
     _fuse_uploads = False
+    # the RLE-routed join does not carry weights yet: masked paired
+    # input falls back to the table path (whose masked global pass this
+    # class shards via make_sharded_kmer_counter)
+    _weighted_sortjoin = False
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
@@ -424,7 +428,8 @@ class ShardedFeatureExtractor(FeatureExtractor):
                 "capacity_factor (pathologically skewed key hash)")
         return bins
 
-    def _sortjoin_pad_tuple(self, n: int):
+    def _sortjoin_pad_tuple(self, n: int, weighted: bool = False):
+        assert not weighted, "masked paired sort-join is single-device"
         return tuple(jax.device_put(w, self._row_sharding)
                      for w in super()._sortjoin_pad_tuple(n))
 

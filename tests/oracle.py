@@ -54,6 +54,21 @@ def global_counts(all_seqs: Iterable[str], k: int) -> Dict[int, int]:
     return table
 
 
+def mask_seq(seq: str, qual: str, min_qual_char: str) -> str:
+    """jellyfish --min-qual-char: bases with quality below the char
+    become N (src/feature.py:76-86)."""
+    mq = ord(min_qual_char)
+    return "".join("N" if i < len(qual) and ord(qual[i]) < mq else ch
+                   for i, ch in enumerate(seq))
+
+
+def global_counts_masked(seq_quals: Iterable[Tuple[str, str]], k: int,
+                         min_qual_char: str) -> Dict[int, int]:
+    """Masked jellyfish global counts over (seq, qual) records."""
+    return global_counts(
+        (mask_seq(s, q, min_qual_char) for s, q in seq_quals), k)
+
+
 def abundance_hist(seqs: List[str], table: Dict[int, int], k: int,
                    window: int, vector_size: int) -> List[int]:
     hist = [0] * vector_size

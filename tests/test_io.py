@@ -70,3 +70,38 @@ def test_barcode_sort(tmp_path):
     # AAA first, TTT next, unbarcoded (~~~) last
     assert headers[0].startswith("y") and headers[2].startswith("x")
     assert headers[4].startswith("z")
+
+
+def test_barcode_sort_external_runs(tmp_path):
+    """The external (run-spill + k-way merge) path produces byte-identical
+    output to the in-memory path, gz in / gz out included — step 0 must
+    survive genome-scale files in bounded memory (src/run_pangaea:237-252
+    is a disk-backed LANG=C sort)."""
+    import gzip
+    import random
+    rng = random.Random(7)
+    bcs = [f"BC{i:03d}" for i in range(40)]
+    rng.shuffle(bcs)
+    inp = str(tmp_path / "u.fq.gz")
+    with gzip.open(inp, "wt") as f:
+        for i in range(2000):
+            bc = bcs[i % len(bcs)]
+            seq = "".join(rng.choice("ACGT") for _ in range(60))
+            for r in (1, 2):
+                f.write(f"@r{i}\tBX:Z:{bc}-1\n{seq}\n+\n{'I' * 60}\n")
+    outs = {}
+    for name, kw in (
+            ("py_ext", dict(mem_limit=16 << 10, backend="python")),
+            ("py_mem", dict(backend="python")),
+            ("gnu", dict(mem_limit=16 << 10, backend="gnu"))):
+        out = str(tmp_path / f"{name}.fq.gz")
+        barcode_sort_interleaved(inp, out, **kw)
+        with gzip.open(out, "rb") as f:
+            outs[name] = f.read()
+    # spilled-runs path == in-memory path == GNU sort path, byte for byte
+    assert outs["py_ext"] == outs["py_mem"] == outs["gnu"]
+    tmp = str(tmp_path / "s.fq")  # outs holds DECOMPRESSED bytes
+    with open(tmp, "wb") as f:
+        f.write(outs["gnu"])
+    tags = [r.header.split("BX:Z:")[1] for r in iter_fastq_records(tmp)]
+    assert tags == sorted(tags)

@@ -32,7 +32,10 @@ REPS = 5
 
 
 def timed(label, fn):
-    fn()  # warm
+    # sync the warm-up: on the async tunnel backend an in-flight warm
+    # transfer would queue ahead of the first timed rep and inflate
+    # small-transfer latencies
+    device_sync(fn())
     t0 = time.time()
     for _ in range(REPS):
         out = fn()

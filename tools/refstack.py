@@ -52,13 +52,17 @@ def build_ref_tools(tools=TOOLS) -> bool:
     return True
 
 
-def write_jellyfish_dump(fq: str, dump: str, k: int = 15,
-                         batch_reads: int = 65536) -> int:
-    """Global canonical k-mer counts of the whole FASTQ as a jellyfish
-    `dump -c -t` text file (numpy, exact, unmasked — what jellyfish
-    produces on the reference's interleaved path, src/feature.py:94).
-    Returns the read count. Used to feed count_kmer when jellyfish is not
-    installed, and as interchange input for both pipelines."""
+def write_jellyfish_dump(fq, dump: str, k: int = 15,
+                         batch_reads: int = 65536,
+                         min_qual_char: str = "") -> int:
+    """Global canonical k-mer counts of the FASTQ(s) as a jellyfish
+    `dump -c -t` text file (numpy, exact). ``fq`` may be one path or a
+    list (the reference's paired path feeds R1 then R2,
+    src/feature.py:76-86). ``min_qual_char`` reproduces jellyfish's
+    --min-qual-char: bases with quality below it become N before
+    counting. Returns the read count. Used to feed count_kmer when
+    jellyfish is not installed, and as interchange input for both
+    pipelines."""
     import numpy as np
     from pangaea_tpu.io.fastq import iter_fastq_records
     from pangaea_tpu.kernels.encode import decode_kmers, revcomp_kmers_np
@@ -67,6 +71,7 @@ def write_jellyfish_dump(fq: str, dump: str, k: int = 15,
     for i, b in enumerate(b"ACTG"):
         lut[b] = i
     lut[ord("a")], lut[ord("c")], lut[ord("t")], lut[ord("g")] = 0, 1, 2, 3
+    mq = ord(min_qual_char) if min_qual_char else 0
 
     parts = []
     seqs = []
@@ -75,11 +80,17 @@ def write_jellyfish_dump(fq: str, dump: str, k: int = 15,
     def flush():
         if not seqs:
             return
-        L = max(len(s) for s in seqs)
+        L = max(len(s) for s, _ in seqs)
         codes = np.full((len(seqs), L), 4, np.uint8)
         lens = np.zeros(len(seqs), np.int32)
-        for i, s in enumerate(seqs):
-            codes[i, :len(s)] = lut[np.frombuffer(s.encode(), np.uint8)]
+        for i, (s, q) in enumerate(seqs):
+            row = lut[np.frombuffer(s.encode(), np.uint8)]
+            if mq:
+                qa = np.frombuffer(q.encode(), np.uint8)
+                m = min(len(qa), len(row))
+                row = row.copy()
+                row[:m][qa[:m] < mq] = 4
+            codes[i, :len(s)] = row
             lens[i] = len(s)
         W = L - k + 1
         c = codes.astype(np.int64)
@@ -108,11 +119,12 @@ def write_jellyfish_dump(fq: str, dump: str, k: int = 15,
             v >>= np.uint64(2)
         return out.astype(np.int64)
 
-    for rec in iter_fastq_records(fq):
-        seqs.append(rec.seq)
-        n_reads += 1
-        if len(seqs) >= batch_reads:
-            flush()
+    for path in ([fq] if isinstance(fq, str) else list(fq)):
+        for rec in iter_fastq_records(path):
+            seqs.append((rec.seq, rec.qual))
+            n_reads += 1
+            if len(seqs) >= batch_reads:
+                flush()
     flush()
     keys, counts = np.unique(np.concatenate(parts), return_counts=True)
     strs = decode_kmers(keys.astype(np.int64), k)
@@ -142,12 +154,35 @@ def run_count_kmer(interleaved: str, dump: str, out_gz: str, *, k: int = 15,
                        "-v", str(vector), "-t", str(threads)])
 
 
+def run_count_kmer_paired(reads1: str, reads2: str, dump: str, out_gz: str,
+                          *, k: int = 15, min_len: int = 2000,
+                          window: int = 10, vector: int = 400,
+                          threads: int = 0) -> float:
+    """Reference count_kmer in paired -1/-2 mode (count_kmer.cpp:186-243;
+    the mode whose global dump the reference quality-masks,
+    src/feature.py:76-86)."""
+    threads = threads or (os.cpu_count() or 1)
+    return _run_timed([os.path.join(BIN, "count_kmer"), "-1", reads1,
+                       "-2", reads2, "-g", dump, "-o", out_gz,
+                       "-k", str(k), "-l", str(min_len), "-w", str(window),
+                       "-v", str(vector), "-t", str(threads)])
+
+
 def run_count_tnf(interleaved: str, out_gz: str, *, k: int = 4,
                   min_len: int = 2000, threads: int = 0) -> float:
     threads = threads or (os.cpu_count() or 1)
     return _run_timed([os.path.join(BIN, "count_tnf"), "-i", interleaved,
                        "-o", out_gz, "-k", str(k), "-l", str(min_len),
                        "-t", str(threads)])
+
+
+def run_count_tnf_paired(reads1: str, reads2: str, out_gz: str, *,
+                         k: int = 4, min_len: int = 2000,
+                         threads: int = 0) -> float:
+    threads = threads or (os.cpu_count() or 1)
+    return _run_timed([os.path.join(BIN, "count_tnf"), "-1", reads1,
+                       "-2", reads2, "-o", out_gz, "-k", str(k),
+                       "-l", str(min_len), "-t", str(threads)])
 
 
 def torch_train_seconds(abd, tnf, steps: int, *, batch: int = 2048,
