@@ -67,6 +67,25 @@ def pack_codes_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return packed, mask
 
 
+def pack_codes_host_inread(codes: np.ndarray, lengths: np.ndarray
+                           ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Like :func:`pack_codes_host` but the mask covers only IN-READ
+    invalid bases (N / quality-masked), not the pad columns beyond each
+    read — every kernel already excludes those via the length check
+    (encode._window_validity in_read), so pad codes may decode as 0
+    instead of 4 with identical results. Most real batches then have an
+    all-zero mask, returned as None: the fused upload skips the whole
+    mask plane (~28% of the code-matrix transfer)."""
+    invalid = (codes >= 4) & (np.arange(codes.shape[1])[None, :]
+                              < lengths[:, None])
+    safe = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    packed = (safe[:, 0::4] | (safe[:, 1::4] << 2)
+              | (safe[:, 2::4] << 4) | (safe[:, 3::4] << 6))
+    if not invalid.any():
+        return packed, None
+    return packed, np.packbits(invalid, axis=1, bitorder="little")
+
+
 @jax.jit
 def _unpack_codes(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Device-side inverse of :func:`pack_codes_host` (cheap VPU
@@ -89,6 +108,17 @@ def _unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
                      axis=-1).reshape(R, Q * 8).astype(jnp.uint8)
 
 
+@jax.jit
+def _unpack_codes_clean(packed: jnp.ndarray) -> jnp.ndarray:
+    """Mask-free unpack for batches with no in-read invalid bases (the
+    common case): pad columns decode as 0 instead of 4, which every
+    kernel treats identically (windows there are excluded by the length
+    check, never by the code value)."""
+    R, Q = packed.shape
+    return jnp.stack([(packed >> (2 * j)) & 3 for j in range(4)],
+                     axis=-1).reshape(R, Q * 4).astype(jnp.uint8)
+
+
 # Tail-batch pad rows are trimmed from the sort in multiples of this many
 # rows: exact trims would mint one compiled slice/pad shape per distinct
 # rows_used value, while quantizing bounds the shape set at
@@ -98,10 +128,11 @@ _TRIM_QUANTUM = 2048
 
 
 class SortJoinOverflow(RuntimeError):
-    """Dataset exceeded sortjoin_max_windows mid-stream on an extractor
-    without host spill (the sharded extractor); the caller restarts on the
-    streaming global-table path. The single-device extractor never raises
-    this — it spills to the chunked host join instead."""
+    """Dataset exceeded the window cap mid-stream on an extractor with
+    host spill disabled; the caller restarts on the streaming
+    global-table path. Both stock extractors (single-device AND sharded)
+    spill to the chunked host join instead — this remains only as the
+    escape hatch for subclasses that opt out of spilling."""
 
 
 class FeatureExtractor:
@@ -152,11 +183,14 @@ class FeatureExtractor:
         return self._rl or self.cfg.max_read_len
 
     def _auto_row_len(self, reads1: str, reads2: str, interleaved: str,
-                      sample: int = 200_000) -> Optional[int]:
+                      sample: int = 50_000) -> Optional[int]:
         """Max read length over a prefix sample, rounded up to 8. Padding
         windows beyond the read carry the sentinel but still cost sort
         and histogram compute (150 bp reads in 256-wide rows waste ~44%
-        of the feature pass)."""
+        of the feature pass). 50k reads (~60 ms) is plenty for the
+        homogeneous read lengths of real runs, and an underestimate is
+        merely a retry (OverlongReadError -> one pass at max_read_len),
+        never wrong output."""
         c = self.cfg
         paths = [interleaved] if interleaved else [
             p for p in (reads1, reads2) if p]
@@ -297,7 +331,7 @@ class FeatureExtractor:
         from pangaea_tpu.io.prefetch import prefetch
         segsum = use_segsum_impl(c.hist_impl)
         names: List[str] = []
-        abd_rows, tnf_rows, trims = [], [], []
+        abd_rows, tnf_rows = [], []
 
         def fresh():
             if segsum:
@@ -311,9 +345,11 @@ class FeatureExtractor:
                                       depth=4):
             if kind == "chunk":
                 names += payload
-                abd_rows.append(hist)
-                tnf_rows.append(thist)
-                trims.append(len(payload))
+                g = len(payload)
+                # trim to the chunk's real group count ON DEVICE so the
+                # final transfer moves len(names) rows, not chunks * G
+                abd_rows.append(hist.reshape(G, c.vector_size)[:g])
+                tnf_rows.append(thist.reshape(G, ncols)[:g])
                 hist, thist = fresh()
                 log.info("group pass: %d barcodes", len(names))
                 continue
@@ -337,15 +373,11 @@ class FeatureExtractor:
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
         # one blocking transfer for all chunks (see group_features_sortjoin)
-        abd_all = np.asarray(jnp.stack(abd_rows)).reshape(
-            len(abd_rows), G, c.vector_size)
-        tnf_all = np.asarray(jnp.stack(tnf_rows)).reshape(
-            len(tnf_rows), G, ncols)
-        return (np.array(names),
-                np.concatenate([abd_all[i][:g]
-                                for i, g in enumerate(trims)]),
-                np.concatenate([tnf_all[i][:g]
-                                for i, g in enumerate(trims)]))
+        abd_all = np.asarray(jnp.concatenate(abd_rows)
+                             if len(abd_rows) > 1 else abd_rows[0])
+        tnf_all = np.asarray(jnp.concatenate(tnf_rows)
+                             if len(tnf_rows) > 1 else tnf_rows[0])
+        return np.array(names), abd_all, tnf_all
 
     # ---- sort-join fast path ----------------------------------------------
 
@@ -621,8 +653,10 @@ class FeatureExtractor:
                     s = jnp.concatenate(
                         [s, jnp.full(per_batch - kw, -1, jnp.int32)])
                 return s
+        import time as _time
+        t_replay0 = _time.time()
         names: List[str] = []
-        abd_dev, tnf_dev, trims = [], [], []
+        abd_dev, tnf_dev = [], []
         off = 0
         for cnames, segs, thist in chunk_meta:
             hist = jnp.zeros((G, c.vector_size), jnp.int32)
@@ -633,9 +667,13 @@ class FeatureExtractor:
                     vector_size=c.vector_size, n_groups=G)
                 off += kw
             names += list(cnames)
-            abd_dev.append(hist)
-            tnf_dev.append(thist)
-            trims.append(len(cnames))
+            # trim to the chunk's real group count ON DEVICE: the final
+            # transfer then moves len(names) rows, not chunks * G
+            # (17 MB -> 6.4 MB at the bench geometry)
+            g = len(cnames)
+            abd_dev.append(hist[:g])
+            tnf_dev.append(thist[:g])
+        self._phase_times = {"replay_dispatch": _time.time() - t_replay0}
         log.info("sortjoin done: %d barcodes, %d windows", len(names), total)
         if not names:
             return (np.array([], dtype=object),
@@ -643,19 +681,21 @@ class FeatureExtractor:
                     np.zeros((0, ncols), np.int32))
         # ONE blocking device->host transfer for all chunks: per-chunk
         # np.asarray forced a tunnel round trip per chunk (2 per chunk x
-        # dozens of chunks dominated e2e time on remote chips). The trim
-        # to each chunk's group count happens on the host.
-        abd_all = np.asarray(jnp.stack(abd_dev))
-        tnf_all = np.asarray(jnp.stack(tnf_dev))
-        abd_rows = [abd_all[i][:g] for i, g in enumerate(trims)]
-        tnf_rows = [tnf_all[i][:g] for i, g in enumerate(trims)]
-        return (np.array(names), np.concatenate(abd_rows),
-                np.concatenate(tnf_rows))
+        # dozens of chunks dominated e2e time on remote chips); rows are
+        # already trimmed per chunk on device.
+        t_d2h0 = _time.time()
+        abd_all = np.asarray(jnp.concatenate(abd_dev)
+                             if len(abd_dev) > 1 else abd_dev[0])
+        tnf_all = np.asarray(jnp.concatenate(tnf_dev)
+                             if len(tnf_dev) > 1 else tnf_dev[0])
+        self._phase_times["final_d2h_sync"] = _time.time() - t_d2h0
+        return np.array(names), abd_all, tnf_all
 
     def _chunked_sortjoin_bins(self, host_parts: List[Tuple[np.ndarray, ...]],
                                weighted: bool = False) -> np.ndarray:
         """Exact sort-join over host-resident keys, one key-VALUE range at
-        a time, each range within ``sortjoin_max_windows``.
+        a time, each range within the device window cap (which the
+        sharded extractor scales with the mesh).
 
         Partitioning by key value means equal keys always share a range,
         so per-range joins are independent and exact — no cross-range
@@ -696,7 +736,7 @@ class FeatureExtractor:
         nval = int(valid.sum())
         if nval == 0:
             return bins_all
-        cap = c.sortjoin_max_windows
+        cap = self._sortjoin_window_cap()
         # 5% headroom so quantile jitter rarely pushes a range past the
         # cap (which would cost a fresh compile shape)
         nparts = max(1, -(-nval // max(1, cap * 19 // 20)))
@@ -725,8 +765,8 @@ class FeatureExtractor:
         # tunnel compiles cost minutes per distinct shape) at the price
         # of a few % sentinel slack. Quantile-balanced ranges sit a
         # little under the cap; only a hot-key range can exceed it.
-        pad_n = sortjoin_pad_size(cap if counts.max() <= cap
-                                  else int(counts.max()))
+        pad_n = self._sortjoin_pad_size(cap if counts.max() <= cap
+                                        else int(counts.max()))
         if counts.max() > cap:
             log.warning(
                 "chunked sort-join: a key range holds %d windows > cap %d "
@@ -925,14 +965,16 @@ class FeatureExtractor:
         events through in order.
 
         Runs the event source (host parse + pack) in a producer thread
-        and fuses whatever run of consecutive batches is available RIGHT
-        NOW — 1 up to ``_upload_batches`` — into one stacked 2-bit-packed
-        host->device transfer (device-side slicing + unpack reproduce
-        exactly what per-batch uploads produced, so every kernel is
-        unchanged). Greedy fusion adapts to the bottleneck: a fast parser
-        yields big fused transfers; a slow one yields singles and the
-        pipeline never stalls waiting to fill a fusion group. Falls back
-        to per-batch uploads on the CPU backend (no transfer to save) and
+        and fuses runs of exactly ``_upload_batches`` consecutive batches
+        (shorter at chunk boundaries / stream end) into one stacked
+        2-bit-packed host->device transfer; device-side slicing + unpack
+        reproduce exactly what per-batch uploads produced, so every
+        kernel is unchanged. Run sizes are a function of stream position
+        only — availability-adaptive fusion was tried and reverted: its
+        timing-dependent run lengths minted fresh compiled shapes for the
+        per-batch slices on every run, which on the tunneled backend put
+        multi-second compiles inside warm-cached runs. Falls back to
+        per-batch uploads on the CPU backend (no transfer to save) and
         in subclasses that place arrays on a mesh."""
         if not (self._fuse_uploads and self._pack_transfers):
             for kind, payload in events:
@@ -941,9 +983,9 @@ class FeatureExtractor:
                 else:
                     yield kind, payload
             return
-        from pangaea_tpu.io.prefetch import greedy_runs
-        for item in greedy_runs(events, self._upload_batches,
-                                lambda ev: ev[0] == "batch"):
+        from pangaea_tpu.io.prefetch import fixed_runs
+        for item in fixed_runs(events, self._upload_batches,
+                               lambda ev: ev[0] == "batch"):
             if not isinstance(item, list):
                 yield item
                 continue
@@ -952,12 +994,29 @@ class FeatureExtractor:
                 for b in grp:
                     yield "batch", (b, self._device_batch(b))
                 continue
-            packed_l, mask_l = zip(*(pack_codes_host(b.codes)
+            packed_l, mask_l = zip(*(pack_codes_host_inread(b.codes,
+                                                            b.lengths)
                                      for b in grp))
             packed = jnp.asarray(np.stack(packed_l))
-            mask = jnp.asarray(np.stack(mask_l))
-            lengths = jnp.asarray(np.stack([b.lengths for b in grp]))
-            segs = jnp.asarray(np.stack([b.seg_ids for b in grp]))
+            # the mask plane ships only when some batch has an in-read
+            # invalid base; pad columns never need it (kernels exclude
+            # them by length), so clean groups save ~28% of the volume
+            mask = None
+            if any(m is not None for m in mask_l):
+                R, L = grp[0].codes.shape
+                zero = np.zeros((R, L // 8), np.uint8)
+                mask = jnp.asarray(np.stack(
+                    [m if m is not None else zero for m in mask_l]))
+            # lengths/segs travel 16-bit (reads < 64 KiB; chunk-local
+            # group ids < 32k at any sane groups_per_chunk — int32 kept
+            # if a huge chunk config ever exceeds that) and widen on
+            # device
+            lengths = jnp.asarray(np.stack(
+                [b.lengths for b in grp]).astype(np.uint16))
+            seg_np = np.stack([b.seg_ids for b in grp])
+            if seg_np.max(initial=0) < 32767:
+                seg_np = seg_np.astype(np.int16)
+            segs = jnp.asarray(seg_np)
             conts = jnp.asarray(np.stack([b.cont for b in grp]))
             lowq = None
             if grp[0].lowq is not None:
@@ -965,8 +1024,10 @@ class FeatureExtractor:
                     [np.packbits(b.lowq != 0, axis=1, bitorder="little")
                      for b in grp]))
             for i, b in enumerate(grp):
-                args = (_unpack_codes(packed[i], mask[i]),
-                        lengths[i], segs[i], conts[i])
+                codes_i = (_unpack_codes_clean(packed[i]) if mask is None
+                           else _unpack_codes(packed[i], mask[i]))
+                args = (codes_i, lengths[i].astype(jnp.int32),
+                        segs[i].astype(jnp.int32), conts[i])
                 if lowq is not None:
                     args += (_unpack_bits(lowq[i]),)
                 yield "batch", (b, args)

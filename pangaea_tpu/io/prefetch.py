@@ -42,18 +42,24 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
         yield item
 
 
-def greedy_runs(it: Iterable[T], max_run: int, is_runnable,
-                depth: int = 0) -> Iterator[T | list]:
+def fixed_runs(it: Iterable[T], max_run: int, is_runnable,
+               depth: int = 0, ramp: bool = True) -> Iterator[T | list]:
     """Producer-thread iterator that groups CONSECUTIVE runnable items
-    into lists of whatever is available *right now* (1..max_run), never
-    blocking to grow a run.
+    into fixed-size lists, with the source driven by a background thread
+    so grouping overlaps the consumer.
 
-    Used by the upload stage: fusing many batches into one host->device
-    transfer amortizes per-call latency, but waiting for a fixed fusion
-    count would serialize against the parser. Greedy runs adapt: when the
-    parser is ahead, runs approach max_run (big fused transfers); when
-    the parser is the bottleneck, runs shrink to 1 and the pipeline stays
-    busy. Non-runnable items are yielded as-is, in order.
+    Used by the upload stage: fusing batches into one host->device
+    transfer amortizes per-call latency. Run sizes are a pure function
+    of STREAM POSITION — deliberately NOT "whatever is available now":
+    availability-driven runs vary with thread timing, so every run of a
+    new length mints fresh compiled shapes for the stacked transfer's
+    per-batch slices, and on a remote/tunneled backend those compiles
+    land inside the measured (warm-cached) region. With ``ramp`` the
+    sizes double from 2 up to ``max_run`` (2, 4, 8, ..., max_run,
+    max_run, ...): the first upload ships after two parsed batches
+    instead of ``max_run``, so short streams overlap parse with
+    transfer, while long streams still amortize at full fusion width.
+    The shape set stays O(log max_run) + per-boundary tails.
     """
     q: queue.Queue = queue.Queue(maxsize=depth or 2 * max_run)
     err: list = []
@@ -68,25 +74,31 @@ def greedy_runs(it: Iterable[T], max_run: int, is_runnable,
             q.put(_SENTINEL)
 
     threading.Thread(target=worker, daemon=True).start()
-    pending = None
+    run: list = []
+    target = min(2, max_run) if ramp else max_run
+
+    def bump():
+        nonlocal target
+        if ramp and target < max_run:
+            target = min(max_run, target * 2)
+
     while True:
-        item = q.get() if pending is None else pending
-        pending = None
+        item = q.get()
         if item is _SENTINEL:
+            if run:
+                yield run
             if err:
                 raise err[0]
             return
         if not is_runnable(item):
+            if run:
+                yield run
+                run = []
+                bump()
             yield item
             continue
-        run = [item]
-        while len(run) < max_run:
-            try:
-                nxt = q.get_nowait()
-            except queue.Empty:
-                break
-            if nxt is _SENTINEL or not is_runnable(nxt):
-                pending = nxt
-                break
-            run.append(nxt)
-        yield run
+        run.append(item)
+        if len(run) == target:
+            yield run
+            run = []
+            bump()

@@ -143,7 +143,8 @@ def make_sharded_kmer_counter(mesh: Mesh, k: int, overlap: int,
 
 
 def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
-                          capacity_factor: float = 2.0):
+                          capacity_factor: float = 2.0,
+                          with_stats: bool = False):
     """Distributed sort-join (kernels/features.py §sort-join) over a
     ('data',) mesh: per-window global-count bins without any global sort
     or gathered key array.
@@ -170,6 +171,9 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     Returns (bins_fn, row_sharding): ``bins_fn(keys)`` maps a P('data')
     (N,) int32 key array (sentinel 4^k = invalid) to (bins, overflow)
     with bins aligned to keys in original order (-1 = no contribution).
+    ``with_stats`` adds a third output: the (n_dev, n_dev) routed-pair
+    count matrix [source, dest] — the RLE routing volume the DESIGN §3c
+    cost model predicts (tools/validate_scaling_model.py checks it).
     """
     from jax import shard_map
 
@@ -259,10 +263,14 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
             lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
             (start, kb))
         _, bins = jax.lax.sort((spos, filled), num_keys=1)
+        if with_stats:
+            return bins, overflow[None], counts[None, :]
         return bins, overflow[None]
 
+    out_specs = (P("data"), P("data")) + (
+        (P("data", None),) if with_stats else ())
     bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("data"),),
-                                out_specs=(P("data"), P("data"))))
+                                out_specs=out_specs))
     return bins_fn, row
 
 
@@ -360,11 +368,14 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
 class ShardedFeatureExtractor(FeatureExtractor):
     """FeatureExtractor whose device batches shard rows over the mesh."""
 
-    # overflow restarts on the sharded table path: the base class's
-    # host-spill chunked join runs single-device range sorts, which do
-    # not compose with this class's mesh-routed sort-join (its cap
-    # already scales with the mesh; see sortjoin_eligible below)
-    _host_spill = False
+    # Beyond-cap datasets spill keys to host RAM and join one key-VALUE
+    # range at a time, like the base class — but each range's join runs
+    # through THIS class's mesh-routed kernel (_chunked_sortjoin_bins
+    # dispatches via _sortjoin_bins_dispatch, and the cap/pad hooks
+    # below scale the range size and n_dev-divisible padding with the
+    # mesh). The stream is still read exactly once; no table-path
+    # restart.
+    _host_spill = True
     # fused chunk uploads would bypass this class's per-batch mesh
     # placements (_device_batch override); keep per-batch puts
     _fuse_uploads = False

@@ -196,13 +196,49 @@ def test_pack_transfers_exact():
     np.testing.assert_array_equal(out, codes)
 
 
-def test_pack_transfers_extraction_equal(tmp_path):
-    """extract_features with pack_transfers on == off, end to end."""
+def test_pack_codes_inread_clean_path():
+    """pack_codes_host_inread skips the mask plane when every in-read
+    base is ACGT (pad columns decode 0, excluded by length everywhere),
+    and keeps it when an N sits inside a read."""
+    import jax.numpy as jnp
+    from pangaea_tpu.features import (_unpack_codes, _unpack_codes_clean,
+                                      pack_codes_host_inread)
+    rng = np.random.default_rng(4)
+    codes = np.full((32, 64), 4, np.uint8)
+    lengths = rng.integers(20, 61, 32).astype(np.int32)
+    for i, n in enumerate(lengths):
+        codes[i, :n] = rng.integers(0, 4, n)
+    p, m = pack_codes_host_inread(codes, lengths)
+    assert m is None
+    out = np.asarray(_unpack_codes_clean(jnp.asarray(p)))
+    for i, n in enumerate(lengths):
+        np.testing.assert_array_equal(out[i, :n], codes[i, :n])
+    codes[5, 3] = 4  # an in-read N
+    p, m = pack_codes_host_inread(codes, lengths)
+    assert m is not None
+    out = np.asarray(_unpack_codes(jnp.asarray(p), jnp.asarray(m)))
+    for i, n in enumerate(lengths):
+        np.testing.assert_array_equal(out[i, :n], codes[i, :n])
+
+
+@pytest.mark.parametrize("with_ns", [False, True])
+def test_pack_transfers_extraction_equal(tmp_path, with_ns):
+    """extract_features with pack_transfers on == off, end to end —
+    fused uploads (incl. the clean mask-free variant) vs raw transfers;
+    with_ns plants in-read Ns so the mask plane must ship and apply."""
+    import gzip as _gzip
     from pangaea_tpu.io.sim import simulate_linked_reads
     fq = str(tmp_path / "sim.fq.gz")
     simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=5_000,
                           n_barcodes=10, pairs_per_barcode=5, read_len=40,
                           seed=3)
+    if with_ns:
+        with _gzip.open(fq, "rt") as f:
+            lines = f.read().splitlines()
+        for i in range(1, len(lines), 16):  # every 4th record's seq line
+            lines[i] = lines[i][:7] + "N" + lines[i][8:]
+        with _gzip.open(fq, "wt") as f:
+            f.write("\n".join(lines) + "\n")
     from pangaea_tpu.config import FeatureConfig
     from pangaea_tpu.features import FeatureExtractor
     outs = {}

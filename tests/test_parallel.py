@@ -324,3 +324,55 @@ def test_sharded_overflow_cap_scales_with_mesh(tmp_path, monkeypatch):
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_sharded_beyond_mesh_cap_spills(tmp_path, monkeypatch):
+    """Past even the MESH-scaled window cap the sharded extractor spills
+    keys to host RAM and joins one key-value range at a time, each range
+    through the mesh-routed kernel — zero stream re-reads, no table-path
+    restart, equal to the scatter oracle (VERDICT r2 item 5)."""
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor, data_mesh
+
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=8_000,
+                          n_barcodes=24, pairs_per_barcode=12, read_len=40,
+                          seed=7)
+    mesh = data_mesh(8)
+    # ~32k windows >> 8 * 500: upfront estimate triggers host spill
+    cfg = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                        max_read_len=64, reads_per_batch=64,
+                        hist_impl="sortjoin", min_qual_char=None,
+                        sortjoin_max_windows=500)
+    fe = ShardedFeatureExtractor(cfg, str(tmp_path / "sharded"), mesh)
+    stream_reads = []
+    table_calls = []
+    orig_ev = ShardedFeatureExtractor._sortjoin_events
+    monkeypatch.setattr(
+        ShardedFeatureExtractor, "_sortjoin_events",
+        lambda self, *a: (stream_reads.append(1), orig_ev(self, *a))[1])
+    monkeypatch.setattr(
+        ShardedFeatureExtractor, "group_features",
+        lambda self, *a, **k: table_calls.append(1))
+    ranges = []
+    orig_bins = ShardedFeatureExtractor._sortjoin_bins
+    monkeypatch.setattr(
+        ShardedFeatureExtractor, "_sortjoin_bins",
+        lambda self, keys: (ranges.append(keys.shape[0]),
+                            orig_bins(self, keys))[1])
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    assert stream_reads == [1], "stream must be read exactly once"
+    assert table_calls == [], "must not restart on the table path"
+    assert len(ranges) > 1, "expected a multi-range chunked join"
+    # every range padded within the mesh-scaled cap's padded shape and
+    # n_dev-divisible (placed with P('data'))
+    assert all(r % 8 == 0 for r in ranges)
+    cfg2 = FeatureConfig(kmer=9, tnf_kmer=4, min_length=100,
+                         max_read_len=64, reads_per_batch=32,
+                         hist_impl="scatter", min_qual_char=None)
+    fe2 = FeatureExtractor(cfg2, str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)

@@ -1,15 +1,20 @@
-"""asm/unmapped.py vs a transliteration oracle of extract_unmapped.cpp
-on a golden BAM covering every filter branch (VERDICT r1 item 7).
+"""asm/unmapped.py vs the REAL reference binary and vs a transliteration
+oracle of extract_unmapped.cpp, on BAMs covering every filter branch.
 
-The reference binary needs htslib, which this image lacks, so binary
-byte-parity is impossible; instead the golden BAM (written with the
-in-repo BGZF codec) exercises each branch of
-extract_unmapped.cpp:72-135, and the expected .list/.low_abd.fq come
-from tests/oracle_unmapped.py — an independent restatement of the C++
-control flow that never touches asm/unmapped.py.
+Two authorities (VERDICT r1 item 7, r2 item 8):
+
+1. The actual /root/reference/src/cpptools/extract_unmapped.cpp,
+   compiled UNMODIFIED against the in-repo minimal htslib shim
+   (pangaea_tpu/native/htslib_shim — BGZF+BAM sequential reading is all
+   the tool uses; real htslib is absent from this image and cannot be
+   fetched). Its .list / .low_abd.fq outputs must be byte-identical.
+2. tests/oracle_unmapped.py — an independent restatement of the C++
+   control flow that never touches asm/unmapped.py (guards against a
+   shim bug mirrored into both sides of authority 1).
 """
 
 import os
+import subprocess
 
 import numpy as np
 import pytest
@@ -105,6 +110,105 @@ def golden(tmp_path_factory):
     with open(depth, "w") as f:
         f.write("\n".join(depth_lines) + "\n")
     return d, bam, depth, groups, depth_lines, refs, lens
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_CPP = "/root/reference/src/cpptools"
+REF_BIN = "/tmp/pangaea_ref_bin/extract_unmapped"
+
+
+def build_ref_unmapped() -> bool:
+    if os.path.isfile(REF_BIN):
+        return True
+    if not os.path.isfile(os.path.join(REF_CPP, "extract_unmapped.cpp")):
+        return False
+    os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+    r = subprocess.run(
+        ["g++", "-O2", "-std=c++14", "-fopenmp",
+         f"-I{REPO}/pangaea_tpu/native/htslib_shim",
+         f"-I{REF_CPP}/lib/cmdline",
+         os.path.join(REF_CPP, "extract_unmapped.cpp"),
+         "-lz", "-o", REF_BIN], capture_output=True)
+    return r.returncode == 0
+
+
+def run_ref_binary(bam, depth, cutoff, out_prefix):
+    subprocess.run([REF_BIN, "-b", bam, "-c", depth, "-f", str(cutoff),
+                    "-o", out_prefix], check=True, capture_output=True)
+
+
+@pytest.mark.skipif(not build_ref_unmapped(),
+                    reason="reference extract_unmapped unavailable")
+def test_matches_reference_binary(golden):
+    """asm/unmapped.py == the ACTUAL compiled reference tool, byte for
+    byte, on the branch-covering golden BAM."""
+    d, bam, depth, groups, depth_lines, refs, lens = golden
+    ours = os.path.join(d, "ours_bin")
+    theirs = os.path.join(d, "ref_bin")
+    extract_unmapped(bam, depth, CUTOFF, ours)
+    run_ref_binary(bam, depth, CUTOFF, theirs)
+    assert (open(ours + ".list").read()
+            == open(theirs + ".list").read())
+    assert (open(ours + ".low_abd.fq").read()
+            == open(theirs + ".low_abd.fq").read())
+
+
+@pytest.mark.skipif(not build_ref_unmapped(),
+                    reason="reference extract_unmapped unavailable")
+def test_matches_reference_binary_randomized(tmp_path):
+    """Byte-parity vs the reference binary on a larger randomized BAM:
+    mixed flag combinations (secondary/supplementary/reverse/unmapped),
+    multi-alignment name groups, varied cigars, NM tags present/absent,
+    and reads split across high/low-coverage contigs."""
+    rng = np.random.default_rng(42)
+    refs = [f"ctg{i}" for i in range(6)]
+    lens = [3000 + 500 * i for i in range(6)]
+    depth = str(tmp_path / "depth.txt")
+    with open(depth, "w") as f:
+        f.write("contigName\tcontigLen\ttotalAvgDepth\n")
+        for i, (r, ln) in enumerate(zip(refs, lens)):
+            f.write(f"{r}\t{ln}\t{5 + 3 * i}\n")  # cutoff 10 splits them
+    bam = str(tmp_path / "rand.bam")
+    w = BamWriter(bam, refs, lens)
+    flags_extra = [0, FREVERSE, FSECONDARY, FSECONDARY | FREVERSE,
+                   0x800, 0x800 | FREVERSE]
+    for g in range(300):
+        qname = f"q{g:05d}"
+        n_aln = int(rng.integers(1, 5))
+        has_r1 = rng.random() < 0.9
+        has_r2 = rng.random() < 0.9
+        seq1, seq2 = _seq(80, 1000 + g), _seq(80, 2000 + g)
+        for a in range(n_aln):
+            mate_r1 = has_r1 and (a == 0 or rng.random() < 0.5 or
+                                  not has_r2)
+            mate = FREAD1 if mate_r1 else (FREAD2 if has_r2 else FREAD1)
+            unmapped = rng.random() < 0.3
+            flag = FPAIRED | mate
+            tid = -1
+            cigar = []
+            nm = None
+            if unmapped:
+                flag |= FUNMAP
+            else:
+                flag |= flags_extra[int(rng.integers(0, 6))]
+                tid = int(rng.integers(0, 6))
+                m = int(rng.integers(20, 81))
+                s = 80 - m
+                cigar = [("M", m)] + ([("S", s)] if s else [])
+                if rng.random() < 0.8:
+                    nm = int(rng.integers(0, 8))
+            rec = _rec(qname, flag, tid, cigar,
+                       seq1 if (flag & FREAD1) else seq2, nm=nm)
+            w.write(rec)
+    w.close()
+    ours = str(tmp_path / "ours")
+    theirs = str(tmp_path / "ref")
+    extract_unmapped(bam, depth, CUTOFF, ours)
+    run_ref_binary(bam, depth, CUTOFF, theirs)
+    assert (open(ours + ".list").read()
+            == open(theirs + ".list").read())
+    assert (open(ours + ".low_abd.fq").read()
+            == open(theirs + ".low_abd.fq").read())
 
 
 def test_matches_cpp_oracle(golden):

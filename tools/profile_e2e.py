@@ -87,9 +87,14 @@ def main():
         # fresh dir every run: a reused dir has cached feature artifacts
         # and extract_features would just load them (zero phases timed)
         fe = FeatureExtractor(cfg, tempfile.mkdtemp(prefix=f"prof_{run}_"))
+        ub = os.environ.get("PANGAEA_UPLOAD_BATCHES")
+        if ub:
+            fe._upload_batches = int(ub)
         wrap_call(fe, "_batch_keys", "keys_dispatch")
         wrap_call(fe, "_sortjoin_bins_dispatch", "sort_sync", sync=True)
         wrap_call(fe, "_save", "save")
+        wrap_call(fe, "_auto_row_len", "row_len_scan")
+        wrap_call(fe, "_estimate_stream_windows", "estimate")
         wrap_call(fmod, "tnf_histogram_segsum", "tnf_dispatch")
         wrap_call(fmod, "abundance_histogram_from_bins", "hist_dispatch")
         t0 = time.time()
@@ -100,6 +105,8 @@ def main():
             print(f"warm wall: {wall:.2f}s", flush=True)
             continue
         print(f"timed wall: {wall:.2f}s  groups={len(names)}")
+        for k_, v in getattr(fe, "_phase_times", {}).items():
+            print(f"  [{k_}] {v*1e3:9.1f} ms")
         acct = 0.0
         for k in sorted(t):
             if k.endswith("_n"):

@@ -87,9 +87,11 @@ def make_ref_home(base: str, bin_dir: str) -> str:
     return home
 
 
-def run_reference(home: str, stubs: str, fq: str, out: str, dump: str,
+def run_reference(home: str, stubs: str, fq, out: str, dump: str,
                   k: int, clusters: int, threads: int,
                   steps: str = "1,2,3") -> float:
+    """fq: interleaved path, or an (r1, r2) tuple for the paired
+    (quality-masked jellyfish) flow, src/feature.py:76-86."""
     feat = os.path.join(out, "1.features")
     os.makedirs(feat, exist_ok=True)
     # pre-place jellyfish artifacts: feature.py:72,101-104 skips the
@@ -104,9 +106,11 @@ def run_reference(home: str, stubs: str, fq: str, out: str, dump: str,
     # directory is not sys.path[0] the way `python pangaea.py` would set it
     env["PYTHONPATH"] = f"{home}:{RPH_PATH}:{stubs}"
     env.pop("JAX_PLATFORMS", None)
+    inp = (["-i", fq] if isinstance(fq, str)
+           else ["-1", fq[0], "-2", fq[1]])
     argv = [sys.executable, os.path.join(stubs, "run_ref.py"),
             os.path.join(home, "pangaea.py"),
-            "-i", fq, "-o", out, "-k", str(k), "-c", str(clusters),
+            *inp, "-o", out, "-k", str(k), "-c", str(clusters),
             "-t", str(threads), "-st", steps]
     t0 = time.time()
     r = subprocess.run(argv, env=env, capture_output=True, text=True)
@@ -117,7 +121,7 @@ def run_reference(home: str, stubs: str, fq: str, out: str, dump: str,
     return dt
 
 
-def run_ours(fq: str, out: str, k: int, clusters: int,
+def run_ours(fq, out: str, k: int, clusters: int,
              steps: str = "1,2,3", backend: str = "") -> float:
     if backend:
         # the axon TPU plugin ignores JAX_PLATFORMS; force via jax.config
@@ -127,8 +131,10 @@ def run_ours(fq: str, out: str, k: int, clusters: int,
                                     PangaeaConfig)
     from pangaea_tpu.pipeline.run import Pipeline
     from pangaea_tpu.utils import init_all
+    inp = (dict(interleaved_reads=fq) if isinstance(fq, str)
+           else dict(reads1=fq[0], reads2=fq[1]))
     cfg = PangaeaConfig(
-        interleaved_reads=fq, output=out, steps=steps,
+        output=out, steps=steps, **inp,
         feature=FeatureConfig(kmer=k),
         cluster=ClusterConfig(n_clusters=clusters))
     import logging
@@ -174,6 +180,16 @@ def main():
     ap.add_argument("--k", type=int, default=15)
     ap.add_argument("--threads", type=int, default=os.cpu_count())
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--error-rate", type=float, default=0.0,
+                    help="per-base substitution rate (errored bases get "
+                         "low quality)")
+    ap.add_argument("--low-qual-rate", type=float, default=0.0,
+                    help="extra fraction of bases drawn below '?' "
+                         "(exercises the masked global pass)")
+    ap.add_argument("--paired", action="store_true",
+                    help="feed both pipelines -1/-2 paired files: the "
+                         "reference's quality-masked jellyfish flow "
+                         "(src/feature.py:76-86); the dump is masked")
     ap.add_argument("--report", default="")
     ap.add_argument("--ours-backend", default="",
                     help="force a jax backend for our side (e.g. cpu)")
@@ -185,17 +201,28 @@ def main():
 
     base = args.out
     os.makedirs(base, exist_ok=True)
-    fq = os.path.join(base, "reads.fq.gz")
+    r1 = os.path.join(base, "reads_1.fq.gz")
+    r2 = os.path.join(base, "reads_2.fq.gz")
+    inter = os.path.join(base, "reads.fq.gz")
+    fq = (r1, r2) if args.paired else inter
     dump = os.path.join(base, "table.dump")
     truth_json = os.path.join(base, "truth.json")
-    if not (os.path.exists(fq) and os.path.exists(dump)):
+    have = ((os.path.exists(r1) and os.path.exists(r2)) if args.paired
+            else os.path.exists(inter))
+    if not (have and os.path.exists(dump)):
         from pangaea_tpu.io.sim import simulate_linked_reads
         print(f"simulating {args.barcodes * args.pairs * 2} reads ...")
+        kw = (dict(out_r1=r1, out_r2=r2) if args.paired
+              else dict(out_interleaved=inter))
         res = simulate_linked_reads(
-            out_interleaved=fq, n_species=args.species,
-            genome_len=args.genome_len, n_barcodes=args.barcodes,
-            pairs_per_barcode=args.pairs, seed=args.seed)
-        n_reads = write_jellyfish_dump(fq, dump, k=args.k)
+            n_species=args.species, genome_len=args.genome_len,
+            n_barcodes=args.barcodes, pairs_per_barcode=args.pairs,
+            error_rate=args.error_rate, low_qual_rate=args.low_qual_rate,
+            seed=args.seed, **kw)
+        # the paired flow masks the global count (--min-qual-char=?)
+        n_reads = write_jellyfish_dump(
+            [r1, r2] if args.paired else inter, dump, k=args.k,
+            min_qual_char="?" if args.paired else "")
         with open(truth_json, "w") as f:
             json.dump({"barcode_species": res.barcode_species,
                        "n_reads": n_reads}, f)
@@ -243,7 +270,10 @@ def main():
         f"Input: {n_reads} simulated linked reads "
         f"({args.barcodes} barcodes x {args.pairs} pairs, "
         f"{args.species} species, genome {args.genome_len} bp, "
-        f"seed {args.seed}); k={args.k}, clusters={args.clusters}, "
+        f"seed {args.seed}, error rate {args.error_rate}, "
+        f"low-qual rate {args.low_qual_rate}, "
+        f"{'PAIRED -1/-2 (masked jellyfish)' if args.paired else 'interleaved'}); "
+        f"k={args.k}, clusters={args.clusters}, "
         f"threads={args.threads} (host: {os.cpu_count()} CPUs).",
         "",
         "Reference ran VERBATIM from /root/reference (steps 1-3; its own",
