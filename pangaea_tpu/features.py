@@ -756,9 +756,6 @@ class FeatureExtractor:
         digits = np.searchsorted(bounds, v, side="right").astype(dt)
         digits[~valid] = inval_digit
         counts = np.bincount(digits, minlength=inval_digit + 1)[:inval_digit]
-        # stable integer argsort is a radix pass: this IS the partition
-        order = np.argsort(digits, kind="stable")
-        del digits
         # pad every range to the cap's padded shape, NOT the
         # data-dependent max count: the compile shape is then a pure
         # function of the config (warmable, persistent-cache-friendly —
@@ -772,11 +769,16 @@ class FeatureExtractor:
                 "chunked sort-join: a key range holds %d windows > cap %d "
                 "(hot keys cannot split across ranges); running one "
                 "larger sort", int(counts.max()), cap)
-        starts = np.concatenate([[0], np.cumsum(counts)])
-        for p in range(len(counts)):
-            idx = order[starts[p]:starts[p + 1]]
+
+        # Range membership via one flatnonzero scan per range (a dozen
+        # sequential passes), NOT a stable argsort of all N digits: the
+        # argsort was measured at most of the host partition cost at the
+        # 339M-window scale (tools/bench_chunked_scale.py), and its int64
+        # permutation alone is 8 B/window of transient RAM.
+        def build_range(p):
+            idx = np.flatnonzero(digits == p)
             if idx.size == 0:
-                continue
+                return None
             kv = v[idx]
             if nw == 1:
                 w0 = np.full(pad_n, sent, np.int32)
@@ -786,18 +788,44 @@ class FeatureExtractor:
                 hi = np.full(pad_n, np.uint32(shi), np.uint32)
                 lo = np.full(pad_n, np.uint32(slo), np.uint32)
                 hi[:kv.size] = (kv >> np.uint64(32)).astype(np.uint32)
-                lo[:kv.size] = (kv & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                lo[:kv.size] = (kv & np.uint64(0xFFFFFFFF)
+                                ).astype(np.uint32)
                 words = (hi, lo)
             if weighted:
                 wv = np.zeros(pad_n, np.int32)
                 wv[:kv.size] = w_all[idx]
                 words = words + (wv,)
-            binsp = np.asarray(self._sortjoin_bins_dispatch(
-                tuple(jnp.asarray(w) for w in words), row_windows=None,
-                weighted=weighted))
-            bins_all[idx] = binsp[:kv.size]
-            log.info("chunked sort-join: range %d/%d (%d windows) joined",
-                     p + 1, len(counts), int(kv.size))
+            return idx, tuple(jnp.asarray(w) for w in words)
+
+        # Two-deep pipeline: range p+1's host scan/gather and H2D upload
+        # are dispatched before range p's bins are synced, so host prep
+        # and transfers overlap the device sorts instead of serializing
+        # (the joins are independent — partitioning is by key value).
+        pending = None  # (idx, device bins)
+
+        def drain():
+            nonlocal pending
+            idx, dev = pending
+            bins_all[idx] = np.asarray(dev)[:idx.size]
+            pending = None
+
+        done = 0
+        for p in range(len(counts)):
+            built = build_range(p)
+            if built is None:
+                continue
+            idx, words = built
+            dev = self._sortjoin_bins_dispatch(words, row_windows=None,
+                                               weighted=weighted)
+            if pending is not None:
+                drain()
+            pending = (idx, dev)
+            done += 1
+            log.info("chunked sort-join: range %d/%d (%d windows) "
+                     "dispatched", done, int((counts > 0).sum()),
+                     int(idx.size))
+        if pending is not None:
+            drain()
         return bins_all
 
     def _sortjoin_pad_size(self, total: int) -> int:

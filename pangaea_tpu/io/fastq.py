@@ -165,11 +165,19 @@ def barcode_sort_interleaved(in_path: str, out_path: str,
     memory exactly like the reference's disk-backed ``LANG=C sort``
     (src/run_pangaea:237-252).
 
-    backend='gnu' (default when available) streams NUL-joined record
-    lines through ``LANG=C sort -S<mem> -T<tmp>`` — the very tool the
-    reference uses, with its run spilling and multi-way merge;
-    backend='python' is a dependency-free fallback (sorted run files +
-    heapq k-way merge) with identical output.
+    Three backends, identical output bytes:
+
+    - 'native' (default when built, plain output): C++ external MSD
+      radix sort — one streaming scatter pass into byte-range bucket
+      files, then in-memory per-bucket sorts (each bucket ~1/256th of
+      the data). Two sequential IO passes vs GNU sort's ~four; measured
+      ~3x GNU sort end to end on the 2-core dev host.
+    - 'gnu': stream NUL-joined record lines through ``LANG=C sort
+      -S<mem> -T<tmp>`` — the very tool the reference uses, with its
+      run spilling and multi-way merge (native C++ converters feed both
+      directions when built).
+    - 'python': dependency-free fallback (sorted run files + heapq
+      k-way merge).
 
     Order reproduced from the reference awk | sort pipeline: the key is
     the literal ``BX:Z:<barcode>`` token (``~~~`` when absent), ties
@@ -182,11 +190,37 @@ def barcode_sort_interleaved(in_path: str, out_path: str,
     """
     import shutil
     if backend == "auto":
-        backend = "gnu" if shutil.which("sort") else "python"
-    if backend == "gnu":
+        backend = "python"
+        if shutil.which("sort"):
+            backend = "gnu"
+        if not str(out_path).endswith(".gz"):
+            try:
+                from pangaea_tpu.native import native_available
+                if native_available():
+                    backend = "native"
+            except Exception:
+                pass
+    if backend == "native":
+        _native_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
+    elif backend == "gnu":
         _gnu_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
     else:
         _python_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
+
+
+def _native_barcode_sort(in_path: str, out_path: str, mem_limit: int,
+                         tmp_dir: Optional[str]) -> None:
+    import tempfile
+    from pangaea_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native IO unavailable")
+    with tempfile.TemporaryDirectory(prefix="bcsort_", dir=tmp_dir) as td:
+        n = lib.pgn_sort_radix(str(in_path).encode(),
+                               str(out_path).encode(), td.encode(),
+                               mem_limit)
+        if n < 0:
+            raise RuntimeError("native radix barcode sort failed")
 
 
 def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
@@ -198,16 +232,46 @@ def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
     with tempfile.TemporaryDirectory(prefix="bcsort_",
                                      dir=tmp_dir) as td:
         env = dict(os.environ, LANG="C", LC_ALL="C")
+        # --parallel: GNU sort's run-sorting and merge threads; the
+        # python conversion threads are IO/GIL-light by comparison
         proc = subprocess.Popen(
-            ["sort", f"-S{max(16, mem_limit >> 20)}M", "-T", td],
+            ["sort", f"-S{max(16, mem_limit >> 20)}M", "-T", td,
+             f"--parallel={os.cpu_count() or 2}"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, env=env)
         err: list = []
 
+        # native converters when built (C++ at parse speed, GIL
+        # released): python conversion measured 26 MB/s end to end on a
+        # 2-core host, the pipeline bottleneck both directions
+        native = None
+        if not str(out_path).endswith(".gz"):
+            try:
+                from pangaea_tpu.native import get_lib
+                native = get_lib()
+            except Exception:
+                native = None
+
         def feed():
             try:
+                if native is not None:
+                    n = native.pgn_sort_feed(in_path.encode(),
+                                             proc.stdin.fileno())
+                    if n < 0:
+                        raise RuntimeError("native sort feed failed")
+                    return
+                # python fallback; batch pipe writes (per-record write()
+                # syscalls measured ~5x slower end to end)
+                buf: list = []
+                size = 0
                 for line in _iter_sort_lines(in_path):
-                    proc.stdin.write(line)
-                    proc.stdin.write(b"\n")
+                    buf.append(line)
+                    size += len(line) + 1
+                    if size >= (1 << 20):
+                        proc.stdin.write(b"\n".join(buf) + b"\n")
+                        buf = []
+                        size = 0
+                if buf:
+                    proc.stdin.write(b"\n".join(buf) + b"\n")
             except BaseException as e:  # noqa: BLE001 — surfaced below
                 err.append(e)
                 proc.kill()
@@ -219,9 +283,24 @@ def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
 
         t = threading.Thread(target=feed, daemon=True)
         t.start()
-        with _open_out(out_path) as out:
-            for raw in proc.stdout:
-                out.write(_emit_record(raw[:-1]))
+        if native is not None:
+            n = native.pgn_sort_emit(proc.stdout.fileno(),
+                                     str(out_path).encode())
+            if n < 0:
+                raise RuntimeError("native sort emit failed")
+        else:
+            with _open_out(out_path) as out:
+                buf = bytearray()
+                while True:
+                    data = proc.stdout.read(1 << 20)
+                    if not data:
+                        break
+                    buf += data
+                    lines = bytes(buf).split(b"\n")
+                    buf = bytearray(lines.pop())
+                    out.write(b"".join(_emit_record(ln) for ln in lines))
+                if buf:
+                    out.write(_emit_record(bytes(buf)))
         t.join()
         rc = proc.wait()
         if err:

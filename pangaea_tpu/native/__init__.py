@@ -62,6 +62,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+    lib.pgn_sort_feed.restype = ctypes.c_longlong
+    lib.pgn_sort_feed.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.pgn_sort_emit.restype = ctypes.c_longlong
+    lib.pgn_sort_emit.argtypes = [ctypes.c_int, ctypes.c_char_p]
+    lib.pgn_sort_radix.restype = ctypes.c_longlong
+    lib.pgn_sort_radix.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_char_p, ctypes.c_longlong]
     _lib = lib
     return lib
 

@@ -100,6 +100,13 @@ def test_barcode_sort_external_runs(tmp_path):
             outs[name] = f.read()
     # spilled-runs path == in-memory path == GNU sort path, byte for byte
     assert outs["py_ext"] == outs["py_mem"] == outs["gnu"]
+    # ... == the native C++ radix backend (plain output)
+    from pangaea_tpu.native import native_available
+    if native_available():
+        out = str(tmp_path / "native.fq")
+        barcode_sort_interleaved(inp, out, backend="native")
+        with open(out, "rb") as f:
+            assert f.read() == outs["gnu"]
     tmp = str(tmp_path / "s.fq")  # outs holds DECOMPRESSED bytes
     with open(tmp, "wb") as f:
         f.write(outs["gnu"])

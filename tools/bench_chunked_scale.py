@@ -84,18 +84,19 @@ def main():
     t_dev = [0.0]
     orig = fe._sortjoin_bins_dispatch
 
-    def timed_dispatch(keys, row_windows=None):
+    def timed_dispatch(keys, row_windows=None, weighted=False):
         t = time.time()
-        out = orig(keys, row_windows=row_windows)
+        out = orig(keys, row_windows=row_windows, weighted=weighted)
         out = np.asarray(out)   # sync: includes H2D of this range + D2H
         t_dev[0] += time.time() - t
         return out
 
     fe._sortjoin_bins_dispatch = timed_dispatch
-    # warm the per-range compile at the padded range shape (one range)
-    nval_est = total2
-    nparts = -(-nval_est // CAP)
-    warm_n = sortjoin_pad_size(-(-total2 // nparts))
+    # warm the per-range compile at the EXACT padded range shape the
+    # chunked join uses (all ranges pad to pad_size(cap); a mismatched
+    # warm shape would put a cold tunnel compile inside the timing)
+    nparts = -(-total2 // max(1, CAP * 19 // 20))
+    warm_n = fe._sortjoin_pad_size(CAP)
     w = jnp.asarray(np.full(warm_n, 4 ** K, np.int32))
     device_sync(sortjoin_bins(w, k=K, window=WINDOW, vector_size=VEC))
     del w
