@@ -297,18 +297,30 @@ class FeatureExtractor:
                          keep_dropped=keep_dropped,
                          min_qual_char=c.min_qual_char if masked else None)
         use_native = False
-        if interleaved and c.bug_compat_boundary_leak:
+        if c.bug_compat_boundary_leak:
             try:
                 from pangaea_tpu.native import native_available
                 use_native = native_available()
             except Exception:
                 pass
-        if use_native:
+        if use_native and interleaved:
             from pangaea_tpu.io.fast_packing import native_group_events
             return gp.groups_per_chunk, native_group_events(
                 interleaved, c.min_length, self.row_len,
                 c.reads_per_batch, gp.groups_per_chunk,
                 keep_dropped=keep_dropped)
+        if use_native and reads1 and reads2 and keep_dropped:
+            # paired native path (lockstep readers; mismatched pairs as
+            # global-only rows; lowq plane when masked). The table-path
+            # group pass (keep_dropped=False) keeps the python packer:
+            # it predates this path and is not the hot configuration.
+            from pangaea_tpu.io.fast_packing import \
+                native_group_events_paired
+            return gp.groups_per_chunk, native_group_events_paired(
+                reads1, reads2, c.min_length, self.row_len,
+                c.reads_per_batch, gp.groups_per_chunk,
+                keep_dropped=True,
+                min_qual_char=c.min_qual_char if masked else None)
         if interleaved or not keep_dropped:
             pairs = self._pair_stream(reads1, reads2, interleaved)
         else:

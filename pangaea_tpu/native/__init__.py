@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pgn_sort_radix.restype = ctypes.c_longlong
     lib.pgn_sort_radix.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_char_p, ctypes.c_longlong]
+    lib.pgn_read_lq.restype = ctypes.c_int
+    lib.pgn_read_lq.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -78,11 +84,15 @@ def native_available() -> bool:
 
 
 class NativeFastqReader:
-    """Bulk record reader: (codes, lengths, barcodes[, names]) arrays."""
+    """Bulk record reader: (codes, lengths, barcodes[, names][, lowq])
+    arrays. With ``with_lowq`` the quality mask is RETURNED as a per-base
+    0/1 plane instead of applied to the codes (the weighted masked
+    sort-join needs both; kernels/features.py §quality-masked)."""
 
     def __init__(self, path: str, max_len: int = 256,
                  min_qual_char: Optional[str] = None,
-                 barcode_width: int = 48, name_width: int = 0):
+                 barcode_width: int = 48, name_width: int = 0,
+                 with_lowq: bool = False):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native IO unavailable")
@@ -90,6 +100,7 @@ class NativeFastqReader:
         self.max_len = max_len
         self.bc_w = barcode_width
         self.nm_w = name_width
+        self.with_lowq = with_lowq
         mq = ord(min_qual_char) if min_qual_char else 0
         self._h = lib.pgn_open(path.encode(), mq)
         if not self._h:
@@ -101,17 +112,28 @@ class NativeFastqReader:
         barcodes = np.empty((n, self.bc_w), dtype="S1")
         names = (np.empty((n, self.nm_w), dtype="S1") if self.nm_w
                  else None)
-        got = self._lib.pgn_read(
-            self._h, n, self.max_len,
-            codes.ctypes.data, lengths.ctypes.data,
-            barcodes.ctypes.data, self.bc_w,
-            names.ctypes.data if names is not None else None, self.nm_w)
+        names_ptr = names.ctypes.data if names is not None else None
+        if self.with_lowq:
+            lowq = np.empty((n, self.max_len), np.uint8)
+            got = self._lib.pgn_read_lq(
+                self._h, n, self.max_len,
+                codes.ctypes.data, lengths.ctypes.data,
+                barcodes.ctypes.data, self.bc_w, names_ptr, self.nm_w,
+                lowq.ctypes.data)
+        else:
+            lowq = None
+            got = self._lib.pgn_read(
+                self._h, n, self.max_len,
+                codes.ctypes.data, lengths.ctypes.data,
+                barcodes.ctypes.data, self.bc_w, names_ptr, self.nm_w)
         if got == 0:
             return None
         out = (codes[:got], lengths[:got],
                barcodes[:got].view(f"S{self.bc_w}").ravel())
         if names is not None:
             out += (names[:got].view(f"S{self.nm_w}").ravel(),)
+        if lowq is not None:
+            out += (lowq[:got],)
         return out
 
     def close(self) -> None:

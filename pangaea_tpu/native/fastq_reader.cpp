@@ -204,9 +204,13 @@ void pgn_close(void* handle) {
 
 // Read up to n records. Returns the number read (0 = EOF).
 // codes may be null (skip encoding); barcodes/names may be null.
-int pgn_read(void* handle, int n, int max_len, uint8_t* codes,
-             int32_t* lengths, char* barcodes, int bc_w, char* names,
-             int nm_w) {
+// With a non-null lowq plane ((n, max_len) uint8), quality masking is
+// REPORTED there (1 where quality < min_qual) instead of applied to the
+// codes — the weighted masked sort-join needs both raw codes and the
+// mask (kernels/features.py §quality-masked).
+static int pgn_read_impl(void* handle, int n, int max_len, uint8_t* codes,
+                         int32_t* lengths, char* barcodes, int bc_w,
+                         char* names, int nm_w, uint8_t* lowq) {
     Reader* r = static_cast<Reader*>(handle);
     std::string header, seq, plus, qual, name, barcode;
     int i = 0;
@@ -228,8 +232,19 @@ int pgn_read(void* handle, int n, int max_len, uint8_t* codes,
                 int qm = m < static_cast<int>(qual.size())
                              ? m
                              : static_cast<int>(qual.size());
-                for (int j = 0; j < qm; ++j)
-                    if (uint8_t(qual[j]) < r->min_qual) row[j] = 4;
+                if (lowq) {
+                    uint8_t* lrow =
+                        lowq + static_cast<int64_t>(i) * max_len;
+                    memset(lrow, 0, max_len);
+                    for (int j = 0; j < qm; ++j)
+                        lrow[j] = uint8_t(qual[j]) < r->min_qual;
+                } else {
+                    for (int j = 0; j < qm; ++j)
+                        if (uint8_t(qual[j]) < r->min_qual) row[j] = 4;
+                }
+            } else if (lowq) {
+                memset(lowq + static_cast<int64_t>(i) * max_len, 0,
+                       max_len);
             }
             for (int j = m; j < max_len; ++j) row[j] = 4;
         }
@@ -239,6 +254,20 @@ int pgn_read(void* handle, int n, int max_len, uint8_t* codes,
                            name);
     }
     return i;
+}
+
+int pgn_read(void* handle, int n, int max_len, uint8_t* codes,
+             int32_t* lengths, char* barcodes, int bc_w, char* names,
+             int nm_w) {
+    return pgn_read_impl(handle, n, max_len, codes, lengths, barcodes,
+                         bc_w, names, nm_w, nullptr);
+}
+
+int pgn_read_lq(void* handle, int n, int max_len, uint8_t* codes,
+                int32_t* lengths, char* barcodes, int bc_w, char* names,
+                int nm_w, uint8_t* lowq) {
+    return pgn_read_impl(handle, n, max_len, codes, lengths, barcodes,
+                         bc_w, names, nm_w, lowq);
 }
 
 // Raw sequence fetch for overlong reads (rare path): re-reads are not

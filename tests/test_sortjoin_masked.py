@@ -163,6 +163,36 @@ def test_mismatched_pairs_count_globally(paired_data, tmp_path):
     np.testing.assert_array_equal(t_s, t_t)
 
 
+def test_native_paired_packer_matches_python(paired_data, tmp_path,
+                                             monkeypatch):
+    """The native paired group-event stream (lockstep C++ readers, lowq
+    plane, mismatched pairs as global-only rows) produces bit-identical
+    features to the pure-python packer path — masked sort-join, with a
+    mismatched pair planted."""
+    import gzip as _gzip
+    import pangaea_tpu.features as fmod
+    d, r1, r2 = paired_data
+    m1, m2 = str(tmp_path / "m1.fq"), str(tmp_path / "m2.fq")
+    with _gzip.open(r1, "rt") as fin, open(m1, "w") as fout:
+        fout.write(fin.read())
+    with _gzip.open(r2, "rt") as fin, open(m2, "w") as fout:
+        lines = fin.read().splitlines()
+        lines[8] = lines[8].split("\t")[0] + "_X\tBX:Z:ZZZZ-1"
+        fout.write("\n".join(lines) + "\n")
+
+    from pangaea_tpu.native import native_available
+    if not native_available():
+        pytest.skip("native IO unavailable")
+    fe_n, (n_n, a_n, t_n) = _extract(tmp_path, m1, m2, "sortjoin", "nat")
+
+    import pangaea_tpu.native as natmod
+    monkeypatch.setattr(natmod, "native_available", lambda: False)
+    fe_p, (n_p, a_p, t_p) = _extract(tmp_path, m1, m2, "sortjoin", "py")
+    assert list(n_n) == list(n_p)
+    np.testing.assert_array_equal(a_n, a_p)
+    np.testing.assert_array_equal(t_n, t_p)
+
+
 # ------------------------------------------- vs the reference binary
 
 from tests.test_reference_parity import BIN, build_ref_tools  # noqa: E402
