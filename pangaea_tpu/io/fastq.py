@@ -23,7 +23,7 @@ import gzip
 import io
 import os
 from dataclasses import dataclass
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 
 def open_maybe_gzip(path: str, mode: str = "rt"):

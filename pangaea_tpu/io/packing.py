@@ -20,7 +20,7 @@ batch of a chunk is padded with seg_id=-1 / length=0 rows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
