@@ -40,6 +40,33 @@ def check_step_finished(output: str, step: str) -> bool:
     return os.path.isdir(d) and os.path.exists(os.path.join(d, marker))
 
 
+# TPU backends can die mid-run with transient runtime errors (observed on
+# long jobs: FAILED_PRECONDITION / "TPU backend error"; the device then
+# recovers by itself within minutes). Every step is idempotent — it
+# either writes its marker or leaves a partial directory its own resume
+# logic handles — so one delayed in-process retry turns a transient
+# device death into a hiccup instead of a failed pipeline. Genuine bugs
+# (Python exceptions, shape errors) are NOT retried.
+_TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "TPU backend error",
+                      "DEADLINE_EXCEEDED", "UNAVAILABLE")
+_TRANSIENT_RETRY_DELAY_S = 120.0
+
+
+def _retry_transient(fn, what: str):
+    import time
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — filtered below
+        msg = f"{type(e).__name__}: {e}"
+        if not any(m in msg for m in _TRANSIENT_MARKERS):
+            raise
+        log.warning("%s hit a transient device error (%s); retrying in "
+                    "%.0f s", what, msg.splitlines()[0][:200],
+                    _TRANSIENT_RETRY_DELAY_S)
+        time.sleep(_TRANSIENT_RETRY_DELAY_S)
+        return fn()
+
+
 class Pipeline:
     def __init__(self, cfg: PangaeaConfig):
         self.cfg = cfg
@@ -152,7 +179,8 @@ class Pipeline:
                 log.info("step 1: feature extraction finished")
             else:
                 with timer.stage("step1_features"):
-                    feats = self.step1_features()
+                    feats = _retry_transient(self.step1_features,
+                                             "step 1 (features)")
 
             if "2" not in steps:
                 log.info("skip step 2: training")
@@ -160,7 +188,10 @@ class Pipeline:
                 log.info("step 2: training finished")
             else:
                 with timer.stage("step2_train"):
-                    self.step2_train(*(feats or (None, None, None)))
+                    _retry_transient(
+                        lambda: self.step2_train(
+                            *(feats or (None, None, None))),
+                        "step 2 (training)")
 
             if "3" not in steps:
                 log.info("skip step 3: clustering")
@@ -169,7 +200,8 @@ class Pipeline:
             else:
                 log.info("start clustering")
                 with timer.stage("step3_cluster"):
-                    self.step3_cluster()
+                    _retry_transient(self.step3_cluster,
+                                     "step 3 (clustering)")
 
             if "4" not in steps:
                 log.info("skip step 4: assembly")

@@ -172,3 +172,34 @@ def test_lazy_package_exports():
     import pangaea_tpu
     assert pangaea_tpu.RPHKMeans.__name__ == "RPHKMeans"
     assert pangaea_tpu.Pipeline.__name__ == "Pipeline"
+
+
+def test_retry_transient_filters_errors(monkeypatch):
+    """Transient device errors retry once (after a delay); genuine bugs
+    propagate immediately."""
+    import time
+    from pangaea_tpu.pipeline import run as prun
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return "ok"
+
+    assert prun._retry_transient(flaky, "test") == "ok"
+    assert len(calls) == 2
+
+    def buggy():
+        raise ValueError("shape mismatch")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prun._retry_transient(buggy, "test")
+
+    def always_dead():
+        raise RuntimeError("UNAVAILABLE: socket closed")
+
+    with _pytest.raises(RuntimeError):  # second failure propagates
+        prun._retry_transient(always_dead, "test")
