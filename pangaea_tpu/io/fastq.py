@@ -212,6 +212,9 @@ def _native_barcode_sort(in_path: str, out_path: str, mem_limit: int,
                          tmp_dir: Optional[str]) -> None:
     import tempfile
     from pangaea_tpu.native import get_lib
+    if str(out_path).endswith(".gz"):
+        raise ValueError("backend='native' writes plain FASTQ only; "
+                         "use backend='gnu'/'python' for .gz output")
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native IO unavailable")

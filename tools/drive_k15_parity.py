@@ -69,6 +69,33 @@ def main():
     assert abd_eq and tnf_eq
     print("K15 PARITY PASS")
 
+    # ---- paired quality-MASKED leg (the weighted sort-join) ON the chip:
+    # error-injected heterogeneous-quality paired reads, masked dump,
+    # reference count_kmer -1/-2 vs our weighted join
+    from tools.refstack import run_count_kmer_paired
+    r1 = os.path.join(d, "m_r1.fq.gz")
+    r2 = os.path.join(d, "m_r2.fq.gz")
+    mdump = os.path.join(d, "masked.dump")
+    if not os.path.exists(r1):
+        simulate_linked_reads(out_r1=r1, out_r2=r2, n_species=5,
+                              genome_len=120_000,
+                              n_barcodes=args.barcodes,
+                              pairs_per_barcode=args.pairs,
+                              error_rate=0.005, low_qual_rate=0.15,
+                              seed=78)
+        write_jellyfish_dump([r1, r2], mdump, k=15, min_qual_char="?")
+    t0 = time.time()
+    fe_m = FeatureExtractor(FeatureConfig(kmer=15),
+                            os.path.join(d, "ours_masked"))
+    fe_m.extract_features(reads1=r1, reads2=r2)
+    print(f"TPU masked paired extraction: {time.time()-t0:.1f}s")
+    ref_mabd = os.path.join(d, "ref_masked_abd.gz")
+    run_count_kmer_paired(r1, r2, mdump, ref_mabd, k=15)
+    mabd_eq = gz(fe_m.abd_gz) == gz(ref_mabd)
+    print(f"masked paired k=15 parity: abundance byte-equal={mabd_eq}")
+    assert mabd_eq
+    print("MASKED PAIRED PARITY PASS")
+
 
 if __name__ == "__main__":
     main()
