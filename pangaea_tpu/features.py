@@ -592,10 +592,13 @@ class FeatureExtractor:
                 kept_rows = min(rows, -(-b.rows_used // _TRIM_QUANTUM)
                                 * _TRIM_QUANTUM)
             if weighted:
-                lowq = (dev_args[4] if len(dev_args) > 4
-                        else jnp.zeros_like(codes))
-                words, wts = self._batch_keys_weighted(codes, lowq,
-                                                       lengths, cont)
+                # the masked-join weights come from the lowq plane; a
+                # silently missing plane would produce UNMASKED counts,
+                # so its absence is an error, not a default
+                assert len(dev_args) > 4, \
+                    "masked sort-join batch arrived without a lowq plane"
+                words, wts = self._batch_keys_weighted(
+                    codes, dev_args[4], lengths, cont)
                 part = words + (wts,)
             else:
                 part = self._batch_keys(codes, lengths, cont)

@@ -144,7 +144,8 @@ def make_sharded_kmer_counter(mesh: Mesh, k: int, overlap: int,
 
 def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
                           capacity_factor: float = 2.0,
-                          with_stats: bool = False):
+                          with_stats: bool = False,
+                          weighted: bool = False):
     """Distributed sort-join (kernels/features.py §sort-join) over a
     ('data',) mesh: per-window global-count bins without any global sort
     or gathered key array.
@@ -174,6 +175,15 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     ``with_stats`` adds a third output: the (n_dev, n_dev) routed-pair
     count matrix [source, dest] — the RLE routing volume the DESIGN §3c
     cost model predicts (tools/validate_scaling_model.py checks it).
+
+    ``weighted``: ``bins_fn(keys, weights)`` — the quality-masked paired
+    global join (kernels/features.py §quality-masked) distributed the
+    same way: the routed value per (source, distinct key) becomes the
+    LOCAL WEIGHT SUM instead of the run length (the same Zipfian RLE
+    bound holds — still at most one routed pair per distinct key per
+    source), the owner's weighted core already sums arbitrary weights,
+    and its ``count > 0`` check reproduces the absent-from-masked-dump
+    skip.
     """
     from jax import shard_map
 
@@ -184,7 +194,7 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
     sentinel = jnp.int32(kmer_key_sentinel(k))
     row = NamedSharding(mesh, P("data"))
 
-    def body(keys):
+    def body(keys, weights=None):
         n_local = keys.shape[0]
         cap = max(1, int(capacity_factor * n_local / n_dev))
         pos0 = jnp.arange(n_local, dtype=jnp.int32)
@@ -193,11 +203,27 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
         # routes AT MOST ONCE per source device — genomic k-mer
         # multiplicities are Zipfian, and routing every instance would
         # pile a hot key's entire load onto its owning shard
-        skeys, spos = jax.lax.sort((keys, pos0), num_keys=1)
+        if weighted:
+            skeys, sw, spos = jax.lax.sort((keys, weights, pos0),
+                                           num_keys=1)
+        else:
+            skeys, spos = jax.lax.sort((keys, pos0), num_keys=1)
         start = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
         end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-        run_end = jax.lax.cummin(jnp.where(end, posi, n_local), reverse=True)
-        run_len = run_end - posi + 1  # valid at run starts (posi == start)
+        if weighted:
+            # routed value = local WEIGHT SUM of the run (valid at run
+            # starts), recovered with the same monotone boundary fills
+            # as the owner core
+            cw = jnp.cumsum(sw)
+            excl = cw - sw
+            run_before = jax.lax.cummax(jnp.where(start, excl, 0))
+            run_total = jax.lax.cummin(
+                jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+            run_len = run_total - run_before
+        else:
+            run_end = jax.lax.cummin(jnp.where(end, posi, n_local),
+                                     reverse=True)
+            run_len = run_end - posi + 1  # valid at run starts
         route = start & (skeys < sentinel)
         h = skeys.astype(jnp.uint32) * jnp.uint32(2654435761)
         # multiplicative hashing must take HIGH bits: h % n_dev on a
@@ -269,7 +295,8 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
 
     out_specs = (P("data"), P("data")) + (
         (P("data", None),) if with_stats else ())
-    bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("data"),),
+    in_specs = (P("data"), P("data")) if weighted else (P("data"),)
+    bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs))
     return bins_fn, row
 
@@ -379,10 +406,13 @@ class ShardedFeatureExtractor(FeatureExtractor):
     # fused chunk uploads would bypass this class's per-batch mesh
     # placements (_device_batch override); keep per-batch puts
     _fuse_uploads = False
-    # the RLE-routed join does not carry weights yet: masked paired
-    # input falls back to the table path (whose masked global pass this
-    # class shards via make_sharded_kmer_counter)
-    _weighted_sortjoin = False
+    # masked paired input runs the WEIGHTED routed join for k <= 15
+    # (make_sharded_sortjoin(weighted=True): routed values are local
+    # weight sums). The split-word pair kernel does not carry weights
+    # yet, so large-k masked paired stays on the single-device path.
+    @property
+    def _weighted_sortjoin(self) -> bool:
+        return self.cfg.kmer <= 15
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
@@ -395,6 +425,7 @@ class ShardedFeatureExtractor(FeatureExtractor):
         self._mat_sharding = NamedSharding(mesh, P("data", None))
         self._repl = NamedSharding(mesh, P())
         self._sortjoin_fn = None  # built lazily on first use
+        self._weighted_fn = None  # weighted (masked paired) twin
 
     def _sortjoin_window_cap(self) -> int:
         # The window cap scales with the mesh: make_sharded_sortjoin
@@ -440,9 +471,29 @@ class ShardedFeatureExtractor(FeatureExtractor):
         return bins
 
     def _sortjoin_pad_tuple(self, n: int, weighted: bool = False):
-        assert not weighted, "masked paired sort-join is single-device"
         return tuple(jax.device_put(w, self._row_sharding)
-                     for w in super()._sortjoin_pad_tuple(n))
+                     for w in super()._sortjoin_pad_tuple(
+                         n, weighted=weighted))
+
+    def _sortjoin_bins_weighted_single(self, keys, row_windows
+                                       ) -> jnp.ndarray:
+        """Masked-global distributed join: keys = (words, weights), both
+        routed through the weighted RLE kernel (local weight sums ride
+        where run lengths did); same overflow contract."""
+        c = self.cfg
+        if self._weighted_fn is None:
+            self._weighted_fn = make_sharded_sortjoin(
+                self.mesh, c.kmer, c.window_size, c.vector_size,
+                weighted=True)[0]
+        kd = jax.device_put(keys[0], self._row_sharding)
+        wd = jax.device_put(keys[1], self._row_sharding)
+        bins, overflow = self._weighted_fn(kd, wd)
+        ov = int(np.asarray(overflow).sum())
+        if ov:
+            raise RuntimeError(
+                f"sort-join routing bucket overflow ({ov} keys): raise "
+                "capacity_factor (pathologically skewed key hash)")
+        return bins
 
     def _sortjoin_bins_pair(self, keys, row_windows) -> jnp.ndarray:
         """Distributed split-word sort-join (15 < k <= 31): same routed
@@ -462,10 +513,15 @@ class ShardedFeatureExtractor(FeatureExtractor):
         return bins
 
     def _shard_batch(self, b):
-        return (jax.device_put(jnp.asarray(b.codes), self._mat_sharding),
+        args = (jax.device_put(jnp.asarray(b.codes), self._mat_sharding),
                 jax.device_put(jnp.asarray(b.lengths), self._row_sharding),
                 jax.device_put(jnp.asarray(b.seg_ids), self._row_sharding),
                 jax.device_put(jnp.asarray(b.cont), self._row_sharding))
+        if b.lowq is not None:
+            # the masked-join lowq plane shards like the code matrix
+            args += (jax.device_put(jnp.asarray(b.lowq),
+                                    self._mat_sharding),)
+        return args
 
     def _device_batch(self, b):
         # group pass: reads shard over the mesh; the (G, 400/136) hist

@@ -326,6 +326,59 @@ def test_sharded_overflow_cap_scales_with_mesh(tmp_path, monkeypatch):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_sharded_weighted_sortjoin_matches_single(mesh):
+    """Routed WEIGHTED join (masked-global: local weight sums ride where
+    run lengths did) == single-device weighted kernel, including
+    zero-weight runs (keys absent from the masked multiset -> -1)."""
+    from pangaea_tpu.kernels.features import (kmer_key_sentinel,
+                                              sortjoin_bins_weighted)
+    from pangaea_tpu.parallel.dist import make_sharded_sortjoin
+
+    k, window, vec = 8, 3, 9
+    rng = np.random.RandomState(5)
+    n = 8 * 4096
+    keys = rng.randint(0, 1500, n).astype(np.int32)
+    keys[rng.rand(n) < 0.15] = kmer_key_sentinel(k)
+    wts = (rng.rand(n) < 0.6).astype(np.int32)
+    # force some all-zero-weight keys (masked everywhere -> count 0)
+    wts[keys < 100] = 0
+    bins_fn, row = make_sharded_sortjoin(mesh, k, window, vec,
+                                         weighted=True)
+    got, overflow = bins_fn(jax.device_put(jnp.asarray(keys), row),
+                            jax.device_put(jnp.asarray(wts), row))
+    assert int(np.asarray(overflow).sum()) == 0
+    want = sortjoin_bins_weighted(jnp.asarray(keys), jnp.asarray(wts),
+                                  k=k, window=window, vector_size=vec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_masked_paired_extractor_matches_single(mesh, tmp_path):
+    """End-to-end: the sharded extractor on MASKED PAIRED input (weighted
+    routed join + sharded lowq planes) == the single-device extractor,
+    bit for bit, on error-injected heterogeneous-quality reads."""
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor
+    r1 = str(tmp_path / "r1.fq.gz")
+    r2 = str(tmp_path / "r2.fq.gz")
+    simulate_linked_reads(out_r1=r1, out_r2=r2, n_species=2,
+                          genome_len=8_000, n_barcodes=40,
+                          pairs_per_barcode=12, error_rate=0.005,
+                          low_qual_rate=0.15, seed=19)
+    cfg1 = FeatureConfig(kmer=9, reads_per_batch=512,
+                         hist_impl="sortjoin", min_qual_char="?")
+    single = FeatureExtractor(cfg1, str(tmp_path / "s"))
+    n1, a1, t1 = single.extract_features(reads1=r1, reads2=r2)
+    cfg2 = FeatureConfig(kmer=9, reads_per_batch=512,
+                         hist_impl="sortjoin", min_qual_char="?")
+    sharded = ShardedFeatureExtractor(cfg2, str(tmp_path / "m"), mesh)
+    n2, a2, t2 = sharded.extract_features(reads1=r1, reads2=r2)
+    assert n1.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
 def test_sharded_beyond_mesh_cap_spills(tmp_path, monkeypatch):
     """Past even the MESH-scaled window cap the sharded extractor spills
     keys to host RAM and joins one key-value range at a time, each range
