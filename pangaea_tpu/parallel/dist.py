@@ -303,7 +303,8 @@ def make_sharded_sortjoin(mesh: Mesh, k: int, window: int, vector_size: int,
 
 def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
                                vector_size: int,
-                               capacity_factor: float = 2.0):
+                               capacity_factor: float = 2.0,
+                               weighted: bool = False):
     """Split-word (15 < k <= 31) twin of :func:`make_sharded_sortjoin`:
     keys travel as uint32 (hi, lo) pairs (encode.kmer_window_values_pair),
     runs and routing hashes are defined on the pair, and the owner-side
@@ -311,6 +312,9 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
     and original-order bins.
 
     ``bins_fn(hi, lo)`` -> (bins, overflow), all P('data') row-sharded.
+    ``weighted``: ``bins_fn(hi, lo, weights)`` — masked-global counts
+    with local weight sums routed instead of run lengths (see
+    :func:`make_sharded_sortjoin`).
     """
     from jax import shard_map
 
@@ -323,17 +327,29 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
     sent_lo = jnp.uint32(sent_lo)
     row = NamedSharding(mesh, P("data"))
 
-    def body(hi, lo):
+    def body(hi, lo, weights=None):
         n_local = hi.shape[0]
         cap = max(1, int(capacity_factor * n_local / n_dev))
         pos0 = jnp.arange(n_local, dtype=jnp.int32)
-        shi, slo, spos = jax.lax.sort((hi, lo, pos0), num_keys=2)
+        if weighted:
+            shi, slo, sw, spos = jax.lax.sort((hi, lo, weights, pos0),
+                                              num_keys=2)
+        else:
+            shi, slo, spos = jax.lax.sort((hi, lo, pos0), num_keys=2)
         start = jnp.concatenate(
             [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
         end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
-        run_end = jax.lax.cummin(jnp.where(end, pos0, n_local),
-                                 reverse=True)
-        run_len = run_end - pos0 + 1  # valid at run starts
+        if weighted:
+            cw = jnp.cumsum(sw)
+            excl = cw - sw
+            run_before = jax.lax.cummax(jnp.where(start, excl, 0))
+            run_total = jax.lax.cummin(
+                jnp.where(end, cw, jnp.iinfo(jnp.int32).max), reverse=True)
+            run_len = run_total - run_before  # local weight sum at starts
+        else:
+            run_end = jax.lax.cummin(jnp.where(end, pos0, n_local),
+                                     reverse=True)
+            run_len = run_end - pos0 + 1  # valid at run starts
         route = start & (shi < sent_hi)
         h = (shi * jnp.uint32(2654435761)) ^ (slo * jnp.uint32(40503)) \
             ^ (slo >> 16)
@@ -386,8 +402,9 @@ def make_sharded_sortjoin_pair(mesh: Mesh, k: int, window: int,
         _, bins = jax.lax.sort((spos, filled), num_keys=1)
         return bins, overflow[None]
 
-    bins_fn = jax.jit(shard_map(body, mesh=mesh,
-                                in_specs=(P("data"), P("data")),
+    in_specs = ((P("data"),) * 3 if weighted
+                else (P("data"), P("data")))
+    bins_fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
                                 out_specs=(P("data"), P("data"))))
     return bins_fn, row
 
@@ -406,13 +423,10 @@ class ShardedFeatureExtractor(FeatureExtractor):
     # fused chunk uploads would bypass this class's per-batch mesh
     # placements (_device_batch override); keep per-batch puts
     _fuse_uploads = False
-    # masked paired input runs the WEIGHTED routed join for k <= 15
-    # (make_sharded_sortjoin(weighted=True): routed values are local
-    # weight sums). The split-word pair kernel does not carry weights
-    # yet, so large-k masked paired stays on the single-device path.
-    @property
-    def _weighted_sortjoin(self) -> bool:
-        return self.cfg.kmer <= 15
+    # masked paired input runs the WEIGHTED routed join (single-word and
+    # split-word: make_sharded_sortjoin[_pair](weighted=True) — routed
+    # values are local weight sums instead of run lengths)
+    _weighted_sortjoin = True
 
     def __init__(self, cfg: FeatureConfig, feature_dir: str, mesh: Mesh):
         super().__init__(cfg, feature_dir)
@@ -485,9 +499,26 @@ class ShardedFeatureExtractor(FeatureExtractor):
             self._weighted_fn = make_sharded_sortjoin(
                 self.mesh, c.kmer, c.window_size, c.vector_size,
                 weighted=True)[0]
-        kd = jax.device_put(keys[0], self._row_sharding)
-        wd = jax.device_put(keys[1], self._row_sharding)
-        bins, overflow = self._weighted_fn(kd, wd)
+        placed = [jax.device_put(w, self._row_sharding) for w in keys]
+        bins, overflow = self._weighted_fn(*placed)
+        ov = int(np.asarray(overflow).sum())
+        if ov:
+            raise RuntimeError(
+                f"sort-join routing bucket overflow ({ov} keys): raise "
+                "capacity_factor (pathologically skewed key hash)")
+        return bins
+
+    def _sortjoin_bins_weighted_pair(self, keys, row_windows
+                                     ) -> jnp.ndarray:
+        """Split-word masked-global distributed join: keys =
+        (hi, lo, weights), all routed."""
+        c = self.cfg
+        if self._weighted_fn is None:
+            self._weighted_fn = make_sharded_sortjoin_pair(
+                self.mesh, c.kmer, c.window_size, c.vector_size,
+                weighted=True)[0]
+        placed = [jax.device_put(w, self._row_sharding) for w in keys]
+        bins, overflow = self._weighted_fn(*placed)
         ov = int(np.asarray(overflow).sum())
         if ov:
             raise RuntimeError(

@@ -352,10 +352,13 @@ def test_sharded_weighted_sortjoin_matches_single(mesh):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_sharded_masked_paired_extractor_matches_single(mesh, tmp_path):
+@pytest.mark.parametrize("kmer", [9, 21])
+def test_sharded_masked_paired_extractor_matches_single(mesh, tmp_path,
+                                                        kmer):
     """End-to-end: the sharded extractor on MASKED PAIRED input (weighted
     routed join + sharded lowq planes) == the single-device extractor,
-    bit for bit, on error-injected heterogeneous-quality reads."""
+    bit for bit, on error-injected heterogeneous-quality reads — both
+    the single-word (k<=15) and split-word (k>15) kernels."""
     from pangaea_tpu.config import FeatureConfig
     from pangaea_tpu.features import FeatureExtractor
     from pangaea_tpu.io.sim import simulate_linked_reads
@@ -366,11 +369,11 @@ def test_sharded_masked_paired_extractor_matches_single(mesh, tmp_path):
                           genome_len=8_000, n_barcodes=40,
                           pairs_per_barcode=12, error_rate=0.005,
                           low_qual_rate=0.15, seed=19)
-    cfg1 = FeatureConfig(kmer=9, reads_per_batch=512,
+    cfg1 = FeatureConfig(kmer=kmer, reads_per_batch=512,
                          hist_impl="sortjoin", min_qual_char="?")
     single = FeatureExtractor(cfg1, str(tmp_path / "s"))
     n1, a1, t1 = single.extract_features(reads1=r1, reads2=r2)
-    cfg2 = FeatureConfig(kmer=9, reads_per_batch=512,
+    cfg2 = FeatureConfig(kmer=kmer, reads_per_batch=512,
                          hist_impl="sortjoin", min_qual_char="?")
     sharded = ShardedFeatureExtractor(cfg2, str(tmp_path / "m"), mesh)
     n2, a2, t2 = sharded.extract_features(reads1=r1, reads2=r2)
