@@ -203,3 +203,29 @@ def test_retry_transient_filters_errors(monkeypatch):
 
     with _pytest.raises(RuntimeError):  # second failure propagates
         prun._retry_transient(always_dead, "test")
+
+
+def test_fixed_runs_deterministic_ramp():
+    """Upload-fusion run sizes are a pure function of stream position:
+    ramp 2,4,8,...,max then flat; non-runnable items flush and re-ramp
+    is NOT triggered (target keeps growing monotonically)."""
+    from pangaea_tpu.io.prefetch import fixed_runs
+    events = [("b", i) for i in range(40)]
+    runs = list(fixed_runs(iter(events), 16, lambda e: e[0] == "b"))
+    sizes = [len(r) for r in runs]
+    assert sizes == [2, 4, 8, 16, 10]
+    assert [e for r in runs for e in r] == events  # order preserved
+
+    # a chunk boundary flushes the partial run, passes through, and the
+    # ramp keeps growing (sizes stay a pure function of the event
+    # sequence — never of thread timing)
+    events = ([("b", i) for i in range(3)] + [("chunk", ["x"])]
+              + [("b", i) for i in range(5)])
+    out = list(fixed_runs(iter(events), 16, lambda e: e[0] == "b"))
+    assert [len(o) if isinstance(o, list) else o[0] for o in out] == \
+        [2, 1, "chunk", 5]
+
+    # no ramp: fixed max_run throughout
+    out = list(fixed_runs(iter([("b", i) for i in range(7)]), 4,
+                          lambda e: True, ramp=False))
+    assert [len(o) for o in out] == [4, 3]
