@@ -290,7 +290,7 @@ class FeatureExtractor:
         count_kmer.cpp:195-197 skips them from grouping)."""
         c = self.cfg
         masked = bool(keep_dropped and reads1 and reads2
-                      and c.min_qual_char)
+                      and not interleaved and c.min_qual_char)
         gp = GroupPacker(min_len=c.min_length, max_read_len=self.row_len,
                          overlap=c.kmer - 1,
                          reads_per_batch=c.reads_per_batch,
@@ -393,11 +393,11 @@ class FeatureExtractor:
 
     # ---- sort-join fast path ----------------------------------------------
 
-    # Masked paired sort-join support: True on the single-device
-    # extractor (the weighted join, kernels/features.py §quality-masked);
-    # the sharded extractor keeps it off until its RLE routing carries
-    # weights (its paired input falls back to the table path, whose
-    # masked global pass it already shards).
+    # Masked paired sort-join support (the weighted join,
+    # kernels/features.py §quality-masked). True everywhere — the
+    # sharded extractor routes weights too (dist.py
+    # make_sharded_sortjoin[_pair](weighted=True)); subclasses without a
+    # weighted kernel can flip this off to fall back to the table path.
     _weighted_sortjoin = True
 
     def sortjoin_eligible(self, reads1: str, reads2: str,
@@ -507,9 +507,9 @@ class FeatureExtractor:
                                   keep_dropped=True)
 
     # Sort-join past the device window cap spills keys to host RAM and
-    # joins one key-VALUE range at a time (VERDICT r1 item 4). The
-    # sharded extractor disables the spill: its cap already scales with
-    # the mesh, and its overflow restarts on the key-range-sharded table.
+    # joins one key-VALUE range at a time. The sharded extractor spills
+    # too — each range runs through its mesh-routed kernel (its cap/pad
+    # hooks scale range size and padding with the mesh).
     _host_spill = True
 
     def group_features_sortjoin(self, reads1: str = "", reads2: str = "",
@@ -546,7 +546,11 @@ class FeatureExtractor:
         c = self.cfg
         overlap = c.kmer - 1
         ncols = num_canonical_kmers(c.tnf_kmer)
-        weighted = bool(reads1 and reads2 and c.min_qual_char)
+        # interleaved wins when both input forms are given (matching
+        # _pair_stream/_group_events), and the interleaved flow counts
+        # UNMASKED (src/feature.py:94) — so weighting requires paired-only
+        weighted = bool(reads1 and reads2 and not interleaved
+                        and c.min_qual_char)
         G, events = self._sortjoin_events(reads1, reads2, interleaved)
         cap = self._sortjoin_window_cap()
         spill = False
@@ -560,7 +564,6 @@ class FeatureExtractor:
         rows = c.reads_per_batch
         wrow = self.row_len - c.kmer + 1
         keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
-        part_rows: List[int] = []     # rows kept per part (pad-trimmed)
         chunk_meta = []  # (names, [(seg_ids, kept_rows)], thist)
         total = 0
         thist = None
@@ -608,7 +611,6 @@ class FeatureExtractor:
             if spill:
                 part = tuple(np.asarray(w) for w in part)
             keys_parts.append(part)
-            part_rows.append(kept_rows)
             total += part[0].shape[0]
             segs.append((seg, kept_rows))
             thist = tnf_histogram_segsum(
@@ -1054,8 +1056,10 @@ class FeatureExtractor:
             # group ids < 32k at any sane groups_per_chunk — int32 kept
             # if a huge chunk config ever exceeds that) and widen on
             # device
-            lengths = jnp.asarray(np.stack(
-                [b.lengths for b in grp]).astype(np.uint16))
+            len_np = np.stack([b.lengths for b in grp])
+            if len_np.max(initial=0) < 65536:
+                len_np = len_np.astype(np.uint16)
+            lengths = jnp.asarray(len_np)
             seg_np = np.stack([b.seg_ids for b in grp])
             if seg_np.max(initial=0) < 32767:
                 seg_np = seg_np.astype(np.int16)
@@ -1149,8 +1153,7 @@ class FeatureExtractor:
                 raise ValueError(
                     f"k={c.kmer} > 15 requires the sort-join path: pass "
                     "hist_impl='auto'/'sortjoin' (the dense table only "
-                    "exists for k <= 15; the sharded extractor "
-                    "additionally requires interleaved input)")
+                    "exists for k <= 15)")
             try:
                 return self.group_features_sortjoin(reads1, reads2,
                                                     interleaved)

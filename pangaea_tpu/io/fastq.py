@@ -112,7 +112,9 @@ def iter_paired_pairs(path1: str, path2: str) -> Iterator[Tuple[FastqRecord, Fas
 
 import re as _re
 
-_BX_RX = _re.compile(rb"BX:Z:[^ \t\r\n]+")
+# * not +: a bare "BX:Z:" token (empty barcode) must key as
+# "BX:Z:", exactly like the native scanners, not as unbarcoded
+_BX_RX = _re.compile(rb"BX:Z:[^ \t\r\n]*")
 
 
 def _iter_sort_lines(in_path: str):
@@ -142,8 +144,17 @@ def _iter_sort_lines(in_path: str):
                 tag = m.group(0) if m else b"~~~"
                 yield tag + nul + nul.join(lines_buf[i:i + 8])
             del lines_buf[:n8]
-        # trailing partial record (fewer than 8 lines) is dropped, like
-        # the reference's awk block loop
+        if carry:
+            # no trailing newline: the carry is still the final line —
+            # dropping it would lose the last record (native readers
+            # keep it)
+            lines_buf.append(carry)
+        if len(lines_buf) >= 8:
+            m = _BX_RX.search(lines_buf[0])
+            tag = m.group(0) if m else b"~~~"
+            yield tag + nul + nul.join(lines_buf[:8])
+        # a genuinely partial trailing record (fewer than 8 lines) is
+        # dropped, like the reference's awk block loop
 
 
 def _emit_record(line: bytes) -> bytes:
@@ -201,8 +212,18 @@ def barcode_sort_interleaved(in_path: str, out_path: str,
             except Exception:
                 pass
     if backend == "native":
-        _native_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
-    elif backend == "gnu":
+        try:
+            _native_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
+            return
+        except RuntimeError as e:
+            # e.g. an adversarial header alphabet exceeding the open-
+            # bucket cap: GNU sort handles anything
+            import logging
+            logging.getLogger(__name__).warning(
+                "native radix sort failed (%s); falling back to GNU "
+                "sort", e)
+            backend = "gnu"
+    if backend == "gnu":
         _gnu_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
     else:
         _python_barcode_sort(in_path, out_path, mem_limit, tmp_dir)
@@ -245,14 +266,16 @@ def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
 
         # native converters when built (C++ at parse speed, GIL
         # released): python conversion measured 26 MB/s end to end on a
-        # 2-core host, the pipeline bottleneck both directions
+        # 2-core host, the pipeline bottleneck both directions. Only the
+        # EMIT side depends on the output format (gz output needs the
+        # python writer); the feed side always benefits.
         native = None
-        if not str(out_path).endswith(".gz"):
-            try:
-                from pangaea_tpu.native import get_lib
-                native = get_lib()
-            except Exception:
-                native = None
+        try:
+            from pangaea_tpu.native import get_lib
+            native = get_lib()
+        except Exception:
+            native = None
+        native_emit = native if not str(out_path).endswith(".gz") else None
 
         def feed():
             try:
@@ -286,9 +309,9 @@ def _gnu_barcode_sort(in_path: str, out_path: str, mem_limit: int,
 
         t = threading.Thread(target=feed, daemon=True)
         t.start()
-        if native is not None:
-            n = native.pgn_sort_emit(proc.stdout.fileno(),
-                                     str(out_path).encode())
+        if native_emit is not None:
+            n = native_emit.pgn_sort_emit(proc.stdout.fileno(),
+                                          str(out_path).encode())
             if n < 0:
                 raise RuntimeError("native sort emit failed")
         else:

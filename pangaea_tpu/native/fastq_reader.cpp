@@ -368,6 +368,13 @@ struct Bucket {
     long long bytes = 0;
 };
 
+// Simultaneously open bucket files per scatter level. 2-byte keys allow
+// 65537 in theory; real barcode alphabets produce <= ~100. Exceeding
+// the cap aborts the native sort (callers fall back to GNU sort) rather
+// than running into the process fd limit.
+constexpr size_t kMaxOpenBuckets = 600;
+constexpr int kMaxRadixDepth = 32;
+
 // emit one NUL-joined sort line as a FASTQ record
 bool emit_line(const std::string& line, FILE* out) {
     size_t nul = line.find('\0');
@@ -380,8 +387,7 @@ bool emit_line(const std::string& line, FILE* out) {
 }
 
 // load a bucket's lines, stable-sort them whole-line (== LANG=C order),
-// emit as FASTQ. Buckets are ~1/256th of the input by construction, so
-// in-memory sorting here is the bounded-memory guarantee.
+// emit as FASTQ.
 bool radix_sort_lines(std::string& data, FILE* out) {
     std::vector<std::pair<const char*, size_t>> lines;
     size_t start = 0;
@@ -408,6 +414,118 @@ bool radix_sort_lines(std::string& data, FILE* out) {
     return true;
 }
 
+struct RadixCtx {
+    const char* tmp_dir;
+    long long mem_limit;
+    FILE* out;
+    long long next_id = 0;
+};
+
+// Scatter helper: lazily opened per-key bucket files for one level.
+struct ScatterSet {
+    std::unordered_map<uint32_t, Bucket> buckets;
+    RadixCtx* ctx;
+    explicit ScatterSet(RadixCtx* c) : ctx(c) {}
+    bool put(uint32_t key, const char* data, size_t len) {
+        Bucket& bk = buckets[key];
+        if (!bk.fp) {
+            if (buckets.size() > kMaxOpenBuckets) return false;
+            char path[4096];
+            snprintf(path, sizeof(path), "%s/bkt_%lld_%06x", ctx->tmp_dir,
+                     ctx->next_id++, key);
+            bk.path = path;
+            bk.fp = fopen(path, "wb");
+            if (!bk.fp) return false;
+            setvbuf(bk.fp, nullptr, _IOFBF, 1 << 18);
+        }
+        if (fwrite(data, 1, len, bk.fp) != len) return false;
+        if (fputc('\n', bk.fp) == EOF) return false;
+        bk.bytes += (long long)len + 1;
+        return true;
+    }
+    std::vector<uint32_t> close_sorted() {
+        std::vector<uint32_t> keys;
+        keys.reserve(buckets.size());
+        for (auto& kv : buckets) {
+            if (kv.second.fp) fclose(kv.second.fp);
+            kv.second.fp = nullptr;
+            keys.push_back(kv.first);
+        }
+        std::sort(keys.begin(), keys.end());
+        return keys;
+    }
+    void cleanup() {
+        for (auto& kv : buckets) {
+            if (kv.second.fp) fclose(kv.second.fp);
+            remove(kv.second.path.c_str());
+        }
+    }
+};
+
+// Sort one bucket file whose lines all share their first `key_off`
+// bytes: in memory when it fits the budget (or the recursion bottoms
+// out), else scatter by the next 2 key bytes and recurse — the promised
+// bounded-memory guarantee for few-bucket alphabets (ACGT barcodes
+// yield only 16 top-level buckets). The file is consumed (removed).
+bool radix_bucket_file(RadixCtx& ctx, const std::string& path,
+                       long long bytes, size_t key_off, int depth) {
+    if (bytes <= ctx.mem_limit || depth >= kMaxRadixDepth) {
+        FILE* f = fopen(path.c_str(), "rb");
+        if (!f) return false;
+        std::string data;
+        data.resize((size_t)bytes);
+        size_t got = fread(&data[0], 1, data.size(), f);
+        fclose(f);
+        remove(path.c_str());
+        data.resize(got);
+        return radix_sort_lines(data, ctx.out);
+    }
+    ScatterSet sub(&ctx);
+    {
+        FILE* f = fopen(path.c_str(), "rb");
+        if (!f) return false;
+        std::string buf;
+        char chunk[1 << 20];
+        size_t start = 0;
+        bool ok = true;
+        while (ok) {
+            size_t got = fread(chunk, 1, sizeof(chunk), f);
+            if (got == 0) break;
+            buf.append(chunk, got);
+            size_t pos;
+            while ((pos = buf.find('\n', start)) != std::string::npos) {
+                size_t len = pos - start;
+                const char* ln = buf.data() + start;
+                uint8_t b0 = len > key_off ? (uint8_t)ln[key_off] : 0;
+                uint8_t b1 = len > key_off + 1 ? (uint8_t)ln[key_off + 1]
+                                               : 0;
+                ok = sub.put(((uint32_t)b0 << 8) | b1, ln, len);
+                if (!ok) break;
+                start = pos + 1;
+            }
+            if (start > (1 << 20)) {
+                buf.erase(0, start);
+                start = 0;
+            }
+        }
+        fclose(f);
+        remove(path.c_str());
+        if (!ok) {
+            sub.cleanup();
+            return false;
+        }
+    }
+    for (uint32_t key : sub.close_sorted()) {
+        Bucket& bk = sub.buckets[key];
+        if (!radix_bucket_file(ctx, bk.path, bk.bytes, key_off + 2,
+                               depth + 1)) {
+            sub.cleanup();
+            return false;
+        }
+    }
+    return true;
+}
+
 }  // namespace
 
 // External radix barcode sort: fastq(.gz) in_path -> sorted fastq at
@@ -424,14 +542,18 @@ long long pgn_sort_radix(const char* in_path, const char* out_path,
         return -1;
     }
 
-    // pass 1: scatter into buckets keyed by the first 2 key bytes AFTER
-    // the common "BX:Z:" prefix region — use line bytes [5, 7) when the
-    // line starts with "BX:Z:" (every barcoded tag does), else bytes
-    // [0, 2) ("~~~" sorts above "BX:Z:..." either way since
-    // '~' > 'B'). Ordering by (region flag, 2 bytes) is a correct
-    // coarse order for whole-line comparison because all "BX:Z:" lines
-    // share the first 5 bytes.
-    std::unordered_map<uint32_t, Bucket> buckets;
+    // pass 1: scatter into buckets keyed by (region, first 2 key bytes
+    // AFTER the common "BX:Z:" prefix) — line bytes [5, 7) when the line
+    // starts with "BX:Z:" (every barcoded tag does), else bytes [0, 2)
+    // ("~~~" sorts above "BX:Z:..." either way since '~' > 'B').
+    // Ordering by (region flag, 2 bytes) is a correct coarse order for
+    // whole-line comparison because all "BX:Z:" lines share the first 5
+    // bytes. Pass 2 then sorts each bucket — in memory when it fits
+    // mem_limit, else recursively re-scattered on the next 2 key bytes
+    // (radix_bucket_file), so ACGT alphabets (only 16 top-level buckets)
+    // stay within the budget too.
+    RadixCtx ctx{tmp_dir, mem_limit > 0 ? mem_limit : (256LL << 20), out};
+    ScatterSet top(&ctx);
     std::string lines8[8];
     long long n = 0;
     bool ok = true;
@@ -446,20 +568,7 @@ long long pgn_sort_radix(const char* in_path, const char* out_path,
             uint8_t b1 = line.size() > 1 ? (uint8_t)line[1] : 0;
             key = (1u << 16) | (b0 << 8) | b1;
         }
-        Bucket& bk = buckets[key];
-        if (!bk.fp) {
-            char path[4096];
-            snprintf(path, sizeof(path), "%s/bkt_%06x", tmp_dir, key);
-            bk.path = path;
-            bk.fp = fopen(path, "wb");
-            if (!bk.fp) return false;
-            setvbuf(bk.fp, nullptr, _IOFBF, 1 << 18);
-        }
-        if (fwrite(line.data(), 1, line.size(), bk.fp) != line.size())
-            return false;
-        if (fputc('\n', bk.fp) == EOF) return false;
-        bk.bytes += (long long)line.size() + 1;
-        return true;
+        return top.put(key, line.data(), line.size());
     };
     while (ok) {
         int got = 0;
@@ -486,33 +595,23 @@ long long pgn_sort_radix(const char* in_path, const char* out_path,
         ++n;
     }
     pgn_close(h);
-
-    // pass 2: buckets in key order; each loads, sorts, emits
-    std::vector<uint32_t> keys;
-    keys.reserve(buckets.size());
-    for (auto& kv : buckets) {
-        if (kv.second.fp) fclose(kv.second.fp);
-        keys.push_back(kv.first);
+    if (!ok) {
+        top.cleanup();
+        fclose(out);
+        return -1;
     }
-    std::sort(keys.begin(), keys.end());
-    for (uint32_t key : keys) {
-        if (!ok) break;
-        Bucket& bk = buckets[key];
-        FILE* f = fopen(bk.path.c_str(), "rb");
-        if (!f) {
+
+    // pass 2: buckets in key order; region-0 lines share bytes [0, 7)
+    // ("BX:Z:" + 2 chars), region-1 lines share bytes [0, 2)
+    for (uint32_t key : top.close_sorted()) {
+        Bucket& bk = top.buckets[key];
+        size_t key_off = (key >> 16) == 0 ? 7 : 2;
+        if (!radix_bucket_file(ctx, bk.path, bk.bytes, key_off, 1)) {
             ok = false;
             break;
         }
-        std::string data;
-        data.resize((size_t)bk.bytes);
-        size_t got = fread(&data[0], 1, data.size(), f);
-        fclose(f);
-        remove(bk.path.c_str());
-        data.resize(got);
-        (void)mem_limit;  // bound comes from bucket granularity
-        if (!radix_sort_lines(data, out))
-            ok = false;
     }
+    if (!ok) top.cleanup();
     fclose(out);
     return ok ? n : -1;
 }

@@ -112,3 +112,51 @@ def test_barcode_sort_external_runs(tmp_path):
         f.write(outs["gnu"])
     tags = [r.header.split("BX:Z:")[1] for r in iter_fastq_records(tmp)]
     assert tags == sorted(tags)
+
+
+def test_barcode_sort_no_trailing_newline(tmp_path):
+    """A file whose final record lacks the trailing newline must not
+    lose that record, on every backend (regression: the python
+    converter's carry was dropped at EOF)."""
+    recs = []
+    for i, bc in enumerate(["TTT", "AAA", "CCC"]):
+        for r in (1, 2):
+            recs.append(f"@r{i}\tBX:Z:{bc}-1\nACGT\n+\nIIII")
+    text = "\n".join(recs)  # no trailing newline
+    inp = str(tmp_path / "u.fq")
+    with open(inp, "w") as f:
+        f.write(text)
+    outs = {}
+    for backend in ("python", "gnu", "native"):
+        out = str(tmp_path / f"{backend}.fq")
+        barcode_sort_interleaved(inp, out, backend=backend)
+        with open(out, "rb") as f:
+            outs[backend] = f.read()
+    assert outs["python"] == outs["gnu"] == outs["native"]
+    assert outs["python"].count(b"@r") == 6  # all records kept
+
+
+def test_barcode_sort_native_recursion_acgt(tmp_path):
+    """ACGT barcodes land in only 16 top-level radix buckets; a tiny
+    mem_limit must force the recursive re-scatter, not an unbounded
+    in-memory load (regression: mem_limit was ignored)."""
+    import gzip
+    import random
+    rng = random.Random(3)
+    bcs = ["".join(rng.choice("ACGT") for _ in range(12))
+           for _ in range(64)]
+    inp = str(tmp_path / "u.fq.gz")
+    with gzip.open(inp, "wt") as f:
+        for i in range(4000):
+            bc = bcs[i % len(bcs)]
+            seq = "".join(rng.choice("ACGT") for _ in range(60))
+            for r in (1, 2):
+                f.write(f"@q{i}\tBX:Z:{bc}-1\n{seq}\n+\n{'I' * 60}\n")
+    nat = str(tmp_path / "nat.fq")
+    ref = str(tmp_path / "ref.fq")
+    # ~2.2 MB of records vs a 64 KiB budget => multiple recursion levels
+    barcode_sort_interleaved(inp, nat, backend="native",
+                             mem_limit=64 << 10)
+    barcode_sort_interleaved(inp, ref, backend="python")
+    with open(nat, "rb") as a, open(ref, "rb") as b:
+        assert a.read() == b.read()

@@ -193,6 +193,34 @@ def test_native_paired_packer_matches_python(paired_data, tmp_path,
     np.testing.assert_array_equal(t_n, t_p)
 
 
+def test_interleaved_plus_paired_prefers_interleaved(paired_data,
+                                                     tmp_path):
+    """With BOTH interleaved and -1/-2 given (the config forbids
+    neither), the interleaved stream wins and counts UNMASKED
+    (src/feature.py:94) — regression: the weighted flag once keyed on
+    reads1/reads2 alone, crashing the native path / silently masking
+    interleaved counts."""
+    import gzip as _gzip
+    d, r1, r2 = paired_data
+    inter = str(tmp_path / "inter.fq")
+    with _gzip.open(r1, "rt") as f1, _gzip.open(r2, "rt") as f2, \
+            open(inter, "w") as out:
+        l1, l2 = f1.read().splitlines(), f2.read().splitlines()
+        for i in range(0, len(l1), 4):
+            out.write("\n".join(l1[i:i + 4]) + "\n")
+            out.write("\n".join(l2[i:i + 4]) + "\n")
+    cfg = FeatureConfig(kmer=K, reads_per_batch=4096,
+                        hist_impl="sortjoin", min_qual_char="?")
+    fe_both = FeatureExtractor(cfg, str(tmp_path / "both"))
+    n_b, a_b, t_b = fe_both.extract_features(reads1=r1, reads2=r2,
+                                             interleaved=inter)
+    fe_i = FeatureExtractor(cfg, str(tmp_path / "ionly"))
+    n_i, a_i, t_i = fe_i.extract_features(interleaved=inter)
+    assert list(n_b) == list(n_i)
+    np.testing.assert_array_equal(a_b, a_i)
+    np.testing.assert_array_equal(t_b, t_i)
+
+
 # ------------------------------------------- vs the reference binary
 
 from tests.test_reference_parity import BIN, build_ref_tools  # noqa: E402
