@@ -199,6 +199,16 @@ def test_matches_reference_binary_randomized(tmp_path):
                     nm = int(rng.integers(0, 8))
             rec = _rec(qname, flag, tid, cigar,
                        seq1 if (flag & FREAD1) else seq2, nm=nm)
+            # decoy aux tags of other types BEFORE NM: bam_aux_get must
+            # skip Z strings / floats / ints correctly to find NM
+            decoys = {}
+            if rng.random() < 0.5:
+                decoys["RG"] = f"grp{int(rng.integers(0, 3))}"
+            if rng.random() < 0.5:
+                decoys["AS"] = int(rng.integers(0, 100))
+            if rng.random() < 0.3:
+                decoys["XS"] = float(rng.random())
+            rec.tags = {**decoys, **rec.tags}
             w.write(rec)
     w.close()
     ours = str(tmp_path / "ours")
