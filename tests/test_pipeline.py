@@ -21,6 +21,25 @@ from pangaea_tpu.pipeline import Pipeline, check_step_finished
 def sim(tmp_path_factory):
     d = tmp_path_factory.mktemp("simdata")
     path = str(d / "reads.fq.gz")
+    # error-injected with heterogeneous qualities: the e2e ARI gate must
+    # hold on realistic reads, not just clean simulation (VERDICT r2
+    # item 5)
+    res = simulate_linked_reads(out_interleaved=path, n_species=4,
+                                genome_len=30_000, n_barcodes=150,
+                                pairs_per_barcode=30, seed=11,
+                                error_rate=0.005, low_qual_rate=0.15)
+    return path, res
+
+
+@pytest.fixture(scope="module")
+def sim_clean(tmp_path_factory):
+    # error-FREE twin for the step-4 assembly-volume gate: the builtin
+    # naive unitig assembler (a dev floor, not megahit) fragments at
+    # error k-mers by design, so its volume assertion is only meaningful
+    # on clean reads; production assemblies use megahit, which is
+    # error-tolerant
+    d = tmp_path_factory.mktemp("simclean")
+    path = str(d / "reads_clean.fq.gz")
     res = simulate_linked_reads(out_interleaved=path, n_species=4,
                                 genome_len=30_000, n_barcodes=150,
                                 pairs_per_barcode=30, seed=11)
@@ -72,8 +91,8 @@ def test_pipeline_steps_1_to_3(tmp_path, sim):
     Pipeline(cfg).run()
 
 
-def test_pipeline_step_4_builtin(tmp_path, sim):
-    reads, res = sim
+def test_pipeline_step_4_builtin(tmp_path, sim_clean):
+    reads, res = sim_clean
     out = str(tmp_path / "out4")
     cfg = small_config(reads, out, steps="1,2,3,4")
     Pipeline(cfg).run()
