@@ -1003,7 +1003,14 @@ class FeatureExtractor:
     # transfer (tools/ab_transfer.py, tunneled v5e; PCIe curves the same
     # way, just higher). So ship up to this many batches per upload.
     _upload_batches = 16
-    _fuse_uploads = True  # ShardedFeatureExtractor keeps per-batch puts
+    _fuse_uploads = True
+
+    def _put_stacked(self, arr: np.ndarray) -> jnp.ndarray:
+        """Place one stacked (n_batches, R, ...) fused-upload plane on
+        the device. ShardedFeatureExtractor overrides with a mesh
+        sharding over the row axis, so fused transfers work on
+        single-host multi-chip too."""
+        return jnp.asarray(arr)
 
     def _device_event_batches(self, events):
         """("batch", b) -> ("batch", (b, device_args)), passing "chunk"
@@ -1019,8 +1026,8 @@ class FeatureExtractor:
         timing-dependent run lengths minted fresh compiled shapes for the
         per-batch slices on every run, which on the tunneled backend put
         multi-second compiles inside warm-cached runs. Falls back to
-        per-batch uploads on the CPU backend (no transfer to save) and
-        in subclasses that place arrays on a mesh."""
+        per-batch uploads on the CPU backend (no transfer to save);
+        mesh subclasses place the stacked planes via _put_stacked."""
         if not (self._fuse_uploads and self._pack_transfers):
             for kind, payload in events:
                 if kind == "batch":
@@ -1042,7 +1049,7 @@ class FeatureExtractor:
             packed_l, mask_l = zip(*(pack_codes_host_inread(b.codes,
                                                             b.lengths)
                                      for b in grp))
-            packed = jnp.asarray(np.stack(packed_l))
+            packed = self._put_stacked(np.stack(packed_l))
             # the mask plane ships only when some batch has an in-read
             # invalid base; pad columns never need it (kernels exclude
             # them by length), so clean groups save ~28% of the volume
@@ -1050,7 +1057,7 @@ class FeatureExtractor:
             if any(m is not None for m in mask_l):
                 R, L = grp[0].codes.shape
                 zero = np.zeros((R, L // 8), np.uint8)
-                mask = jnp.asarray(np.stack(
+                mask = self._put_stacked(np.stack(
                     [m if m is not None else zero for m in mask_l]))
             # lengths/segs travel 16-bit (reads < 64 KiB; chunk-local
             # group ids < 32k at any sane groups_per_chunk — int32 kept
@@ -1059,15 +1066,15 @@ class FeatureExtractor:
             len_np = np.stack([b.lengths for b in grp])
             if len_np.max(initial=0) < 65536:
                 len_np = len_np.astype(np.uint16)
-            lengths = jnp.asarray(len_np)
+            lengths = self._put_stacked(len_np)
             seg_np = np.stack([b.seg_ids for b in grp])
             if seg_np.max(initial=0) < 32767:
                 seg_np = seg_np.astype(np.int16)
-            segs = jnp.asarray(seg_np)
-            conts = jnp.asarray(np.stack([b.cont for b in grp]))
+            segs = self._put_stacked(seg_np)
+            conts = self._put_stacked(np.stack([b.cont for b in grp]))
             lowq = None
             if grp[0].lowq is not None:
-                lowq = jnp.asarray(np.stack(
+                lowq = self._put_stacked(np.stack(
                     [np.packbits(b.lowq != 0, axis=1, bitorder="little")
                      for b in grp]))
             for i, b in enumerate(grp):

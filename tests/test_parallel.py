@@ -352,6 +352,31 @@ def test_sharded_weighted_sortjoin_matches_single(mesh):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_sharded_fused_uploads_match_single(mesh, tmp_path):
+    """pack_transfers='on' over the mesh: fused stacked uploads place
+    each plane row-sharded (_put_stacked), and per-batch slices inherit
+    the shardings the per-batch path used — results bit-identical to
+    the single-device extractor."""
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    from pangaea_tpu.parallel import ShardedFeatureExtractor
+    reads = str(tmp_path / "r.fq.gz")
+    simulate_linked_reads(out_interleaved=reads, n_species=2,
+                          genome_len=8_000, n_barcodes=40,
+                          pairs_per_barcode=12, seed=17)
+    cfg1 = FeatureConfig(kmer=9, reads_per_batch=512)
+    single = FeatureExtractor(cfg1, str(tmp_path / "s"))
+    n1, a1, t1 = single.extract_features(interleaved=reads)
+    cfg2 = FeatureConfig(kmer=9, reads_per_batch=512,
+                         hist_impl="sortjoin", pack_transfers="on")
+    sharded = ShardedFeatureExtractor(cfg2, str(tmp_path / "m"), mesh)
+    n2, a2, t2 = sharded.extract_features(interleaved=reads)
+    assert n1.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+
+
 @pytest.mark.parametrize("kmer", [9, 21])
 def test_sharded_masked_paired_extractor_matches_single(mesh, tmp_path,
                                                         kmer):
