@@ -33,10 +33,18 @@ def _assemble_bins_external(runner: ToolRunner, fqs: List[str],
 
     def one(fq):
         outdir = fq[:-3] + ".megahit"
-        if not os.path.isdir(outdir):
+        final = os.path.join(outdir, "final.contigs.fa")
+        if not os.path.isfile(final):
+            # resume on the OUTPUT file, not the directory: an
+            # interrupted megahit leaves the dir without the fasta and
+            # would wedge every rerun (megahit itself refuses an
+            # existing dir, so clear a stale one first)
+            if os.path.isdir(outdir):
+                import shutil
+                shutil.rmtree(outdir)
             runner.run(["megahit", "--12", fq, "-t", str(threads),
                         "-o", outdir], log_name="megahit.log")
-        return os.path.join(outdir, "final.contigs.fa")
+        return final
 
     with ThreadPoolExecutor(max_workers=5) as ex:  # bin_assembly.sh:20-27
         outs = list(ex.map(one, fqs))

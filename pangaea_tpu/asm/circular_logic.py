@@ -142,8 +142,13 @@ def span_events(rows: Sequence[CoordRow], margin: int = 10_000
 
 
 def parse_show_coords(text: str) -> List[CoordRow]:
-    """Parse ``show-coords -T`` output (tab-separated, headers stripped:
-    S1 E1 S2 E2 LEN1 LEN2 IDY [LENR LENQ] [R Q])."""
+    """Parse ``show-coords -T`` output (tab-separated, headers stripped).
+
+    Column layouts by count: 7 = S1 E1 S2 E2 LEN1 LEN2 IDY;
+    9 = ... + TAGR TAGQ (plain ``-T``: the trailing fields are NAMES,
+    not lengths — parsing them as LENR/LENQ raised and silently killed
+    the external encircle path); 11 = ``-Tl``'s ... + LENR LENQ + tags.
+    """
     rows = []
     for line in text.splitlines():
         parts = line.rstrip("\n").split("\t")
@@ -151,12 +156,15 @@ def parse_show_coords(text: str) -> List[CoordRow]:
             continue
         try:
             vals = [int(float(p)) for p in parts[:4]]
+            if len(parts) >= 11:
+                r_len = int(float(parts[7]))
+                q_len = int(float(parts[8]))
+            else:
+                r_len = q_len = 0
         except ValueError:
             continue
-        r_len = int(float(parts[7])) if len(parts) > 8 else 0
-        q_len = int(float(parts[8])) if len(parts) > 8 else 0
-        r_name = parts[-2] if len(parts) > 10 else ""
-        q_name = parts[-1] if len(parts) > 10 else ""
+        r_name = parts[-2] if len(parts) >= 9 else ""
+        q_name = parts[-1] if len(parts) >= 9 else ""
         rows.append(CoordRow(vals[0], vals[1], vals[2], vals[3],
                              r_len, q_len, r_name, q_name))
     return rows

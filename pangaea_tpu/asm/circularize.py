@@ -176,10 +176,14 @@ def _overcirc_external(runner: ToolRunner, name: str, seq: str,
     coords = subprocess.run(
         ["show-coords", "-T", "-L", "2000", delta + ".delta"],
         capture_output=True, text=True, check=True).stdout
-    rows = parse_show_coords("\n".join(coords.splitlines()[4:]))
+    # sed '1,5d' in encircle.py:24-26: 4 header lines AND the
+    # full-length identity self-hit row must both go — keeping the
+    # identity row would pass the corner tests on its own and truncate
+    # non-circular contigs
+    rows = parse_show_coords("\n".join(coords.splitlines()[5:]))
     region = overcirc_region(rows)
     if region is None:
-        return None
+        return "not_circular"
     start, end = region
     return seq[start - 1:end]  # 1-based inclusive region kept
 
@@ -232,6 +236,11 @@ def make_circularizer(cfg: PangaeaConfig, runner: ToolRunner
                         n_span += 1
                         yield f"{short}_spanned", spanned
                         continue
+                    # three-way outcome: a trimmed sequence, the
+                    # external detector's definitive "not circular"
+                    # (Lathe leaves the contig untouched — the builtin
+                    # floor must NOT then second-guess it), or None =
+                    # external unavailable/failed -> builtin floor
                     trimmed = None
                     if use_nucmer:
                         try:
@@ -240,7 +249,9 @@ def make_circularizer(cfg: PangaeaConfig, runner: ToolRunner
                         except Exception as e:
                             log.warning("nucmer encircle failed on %s: %s",
                                         short, e)
-                    if trimmed is None:
+                    if trimmed == "not_circular":
+                        trimmed = None
+                    elif trimmed is None:
                         keep = exact_overlap_trim(seq)
                         if keep is not None:
                             trimmed = seq[:keep]

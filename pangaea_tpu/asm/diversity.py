@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 import math
 import os
-import re  # noqa: F401  (used in find_latest_mpa_index)
+import re
 from typing import List
 
 from pangaea_tpu.asm.tools import ToolRunner
@@ -54,7 +54,6 @@ def shannon_from_profile(profile_path: str) -> float:
 
 def find_latest_mpa_index(db_dir: str) -> str:
     """Latest ``mpa_v*.1.bt2l`` index prefix (calculate_diversity.sh:13-37)."""
-    import re
     candidates = []
     for name in os.listdir(db_dir):
         if re.match(r"^mpa_v[^ ]+\.1\.bt2l$", name) and ".rev." not in name:
@@ -68,7 +67,6 @@ def find_latest_mpa_index(db_dir: str) -> str:
 def merge_metaphlan_tables(profiles: List[str], out_path: str) -> None:
     """Table join of metaphlan profiles (src/scripts/metaphlan_tables.py:
     clade x sample relative-abundance matrix, missing clades -> 0)."""
-    headers = None
     columns = []  # (sample_name, {clade: abund})
     version = None
     for path in profiles:

@@ -90,12 +90,16 @@ def merge_asm(cluster_dir: str, assembly_dir: str, local_assembly: str,
     """merge_asm.sh: pool + merge_olc + quickmerge + circularize."""
     runner = runner or ToolRunner()
     pool = os.path.join(assembly_dir, "contigs.low_abd.binning.local.fa")
-    if low_assembler == "spades":
-        sub_fas = sorted(glob.glob(
-            os.path.join(assembly_dir, "*.spades", "contigs.fasta")))
-    else:
-        sub_fas = sorted(glob.glob(
-            os.path.join(assembly_dir, "*.megahit", "final.contigs.fa")))
+    # glob BOTH assembler layouts regardless of the configured name:
+    # low_assembly falls back spades -> megahit -> builtin when tools are
+    # missing, and a name-keyed glob would silently drop the recovered
+    # low-abundance assemblies from the merge
+    sub_fas = sorted(
+        glob.glob(os.path.join(assembly_dir, "*.spades",
+                               "contigs.fasta"))
+        + glob.glob(os.path.join(assembly_dir, "*.megahit",
+                                 "final.contigs.fa")))
+    del low_assembler  # retained in the signature for callers
     inputs = sub_fas + [os.path.join(cluster_dir, "contigs.megahit.fa")]
     if local_assembly:
         inputs.append(local_assembly)

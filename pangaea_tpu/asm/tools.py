@@ -54,8 +54,13 @@ class ToolRunner:
             out = open(os.path.join(self.log_dir, log_name), "a")
         try:
             if shell_cmd is not None:
-                ret = subprocess.run(shell_cmd, shell=True, stdout=out,
-                                     stderr=out, cwd=cwd)
+                # pipefail: `bwa ... | samtools sort` must fail loudly
+                # when the UPSTREAM stage dies, not hand samtools an
+                # empty stream and exit 0 (bash for pipefail support;
+                # /bin/sh may be dash)
+                ret = subprocess.run(["bash", "-c",
+                                      "set -o pipefail; " + shell_cmd],
+                                     stdout=out, stderr=out, cwd=cwd)
             else:
                 ret = subprocess.run(command, stdout=out, stderr=out,
                                      cwd=cwd)

@@ -40,11 +40,16 @@ def _lloyd(X: jax.Array, W: jax.Array, C0: jax.Array, tol_eff: jax.Array,
     k = C0.shape[0]
 
     def relocate_empty(C, counts):
-        """sklearn-style: empty clusters take the farthest points."""
-        d = _dist2(X, C)
+        """sklearn-style: empty clusters take the farthest points.
+
+        'Farthest' ranks by distance to the nearest NON-EMPTY center:
+        an empty cluster's degenerate mean (sums/1 = the origin) must
+        not enter the min, or points near the origin would be
+        systematically excluded from relocation."""
+        empty = counts == 0
+        d = _dist2(X, C) + jnp.where(empty, jnp.inf, 0.0)[None, :]
         mind = jnp.min(d, axis=1)
         # rank empty clusters; e-th empty cluster gets e-th farthest point
-        empty = counts == 0
         order = jnp.argsort(-mind)  # farthest first
         erank = jnp.cumsum(empty.astype(jnp.int32)) - 1
         far_pts = X[order[jnp.clip(erank, 0, n - 1)]]

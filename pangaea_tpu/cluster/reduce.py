@@ -180,10 +180,8 @@ class RPPointReducer:
                 weight = weight[:new_size]
                 active = active[:new_size]
                 size = new_size
-            if new_count == count:
-                # no merge happened this round; try a fresh projection
-                count = new_count
-                continue
+            # the loop always draws a fresh projection next round, so a
+            # no-merge round needs no special case
             count = new_count
         reduced_x = np.asarray(x)[:count]
         weights = np.asarray(weight)[:count]

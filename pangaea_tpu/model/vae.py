@@ -228,7 +228,8 @@ def vae_embed(params: Pytree, bn_state: Pytree, model: VAE,
     """mu only, eval mode — VAENET.emebdding (VAENET.py:232-236)."""
     x = jnp.concatenate([abd, tnf], axis=1)
     h, _ = _stack(params["enc"], bn_state["enc"], x, model=model,
-                  train=False, mask=None, drop_keys=[None, None])
+                  train=False, mask=None,
+                  drop_keys=[None] * len(model.hidden_sizes))
     return _mm(h, params["mu"]["w"], model) + params["mu"]["b"]
 
 
