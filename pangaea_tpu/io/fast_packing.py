@@ -104,7 +104,6 @@ def _group_event_core(buffers, min_len: int, max_read_len: int,
 
     # carry state across buffers (open group at a buffer boundary)
     last_barcode = b""  # the reference's running last_barcode
-    carry = None        # (codes, lengths, bcs, lowq)
 
     # chunk assembly state
     chunk_names: List[str] = []
@@ -257,6 +256,31 @@ def _group_event_core(buffers, min_len: int, max_read_len: int,
                     yield from close_chunk()
         return open_tail
 
+    # The carry (an open group at a buffer boundary) is kept as a LIST
+    # of buffer fragments and only concatenated when the group finally
+    # closes: one barcode run spanning many buffers — the unbarcoded
+    # '~~~' tail of a real dataset is 10-20% of all pairs and sorts
+    # last — would otherwise be re-concatenated and re-scanned every
+    # buffer (O(run^2 / buffer) host work).
+    carry_parts: list = []  # [(codes, lengths, bcs, lowq)]
+    carry_bc = None         # the single barcode all carried pairs share
+
+    def pop_carry(codes, lengths, bcs, lowq):
+        nonlocal carry_parts, carry_bc
+        if not carry_parts:
+            return codes, lengths, bcs, lowq
+        parts = carry_parts + [(codes, lengths, bcs, lowq)]
+        carry_parts, carry_bc = [], None
+        out_codes = np.concatenate([p[0] for p in parts])
+        out_lengths = np.concatenate([p[1] for p in parts])
+        out_bcs = np.concatenate([p[2] for p in parts])
+        out_lowq = None
+        if any(p[3] is not None for p in parts):
+            out_lowq = np.concatenate(
+                [p[3] if p[3] is not None else np.zeros_like(p[0])
+                 for p in parts])
+        return out_codes, out_lengths, out_bcs, out_lowq
+
     for codes, lengths, bcs, lowq, extra in buffers:
         final = codes is None
         if final:
@@ -267,17 +291,13 @@ def _group_event_core(buffers, min_len: int, max_read_len: int,
         if extra is not None and keep_dropped:
             xc, xl, xlq = extra
             add_rows(xc, xl, np.full(len(xl), -1, np.int32), xlq)
-        if carry is not None:
-            codes = np.concatenate([carry[0], codes])
-            lengths = np.concatenate([carry[1], lengths])
-            bcs = np.concatenate([carry[2], bcs])
-            if carry[3] is not None or lowq is not None:
-                cl = (carry[3] if carry[3] is not None
-                      else np.zeros_like(carry[0]))
-                bl = (lowq if lowq is not None
-                      else np.zeros_like(codes[len(cl):]))
-                lowq = np.concatenate([cl, bl])
-        carry = None
+        if (not final and carry_parts and len(bcs)
+                and (bcs == carry_bc).all()):
+            # whole buffer continues the carried group: defer the
+            # concatenation (O(1) append instead of a rescan)
+            carry_parts.append((codes, lengths, bcs, lowq))
+            continue
+        codes, lengths, bcs, lowq = pop_carry(codes, lengths, bcs, lowq)
 
         tail = yield from emit_groups(codes, lengths, bcs, lowq, final)
         # eager emission: every complete batch ships now, so the consumer
@@ -287,7 +307,10 @@ def _group_event_core(buffers, min_len: int, max_read_len: int,
         if final:
             break
         if tail is not None:
-            carry = tail
+            carry_parts = [tail]
+            # the open group's pairs all share the last barcode by
+            # construction (they sit after the final change position)
+            carry_bc = tail[2][-1] if len(tail[2]) else None
     if chunk_names or nrows:
         yield from close_chunk()
 
@@ -327,14 +350,17 @@ def native_group_events(interleaved: str, min_len: int, max_read_len: int,
                     yield None, None, None, None, None
                     return
                 codes, lengths, bcs = out
+                # overlong check covers the WHOLE buffer, including the
+                # trailing unpaired record split off below: global-only
+                # reads truncate silently otherwise
+                if int(lengths.max(initial=0)) > max_read_len:
+                    raise _overlong(max_read_len)
                 extra = None
                 if len(lengths) % 2:  # trailing unpaired record: drop
                     # ... but it still counts globally
                     extra = (codes[-1:], lengths[-1:], None)
                     codes, lengths, bcs = (codes[:-1], lengths[:-1],
                                            bcs[:-1])
-                if int(lengths.max(initial=0)) > max_read_len:
-                    raise _overlong(max_read_len)
                 # per-pair barcode = R1's (interleaved)
                 yield codes, lengths, bcs[0::2], None, extra
         finally:
@@ -389,6 +415,13 @@ def native_group_events_paired(reads1: str, reads2: str, min_len: int,
                 if o1 is None and o2 is None:
                     yield None, None, None, None, None
                     return
+                # overlong check covers the FULL buffers (leftover tails
+                # become global-only reads below and must not truncate
+                # silently)
+                for o in (o1, o2):
+                    if o is not None and \
+                            int(o[1].max(initial=0)) > max_read_len:
+                        raise _overlong(max_read_len)
                 # unequal file lengths: leftover reads are global-only
                 extras = []
                 if o1 is None or o2 is None or o1[1].shape != o2[1].shape:
@@ -412,9 +445,6 @@ def native_group_events_paired(reads1: str, reads2: str, min_len: int,
                                for a in o2) if o2 else None
                 c1, l1, b1, nm1, q1 = o1
                 c2, l2, b2, nm2, q2 = o2
-                if (int(l1.max(initial=0)) > max_read_len
-                        or int(l2.max(initial=0)) > max_read_len):
-                    raise _overlong(max_read_len)
                 P = len(l1)
                 ok = (nm1 == nm2) & (b1 == b2)
                 # interleave R1/R2 rows

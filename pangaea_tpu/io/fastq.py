@@ -86,28 +86,55 @@ def iter_fastq_records(path_or_handle) -> Iterator[FastqRecord]:
               if isinstance(path_or_handle, str) else path_or_handle)
     it = iter(handle)
     for header in it:
-        seq = next(it).rstrip("\n")
-        next(it)  # '+'
-        qual = next(it).rstrip("\n")
+        try:
+            seq = next(it).rstrip("\n")
+            next(it)  # '+'
+            qual = next(it).rstrip("\n")
+        except StopIteration:
+            # truncated final record: drop it with a warning instead of
+            # the opaque PEP 479 RuntimeError (the native reader's
+            # getline loop likewise stops at the last complete record)
+            import logging
+            logging.getLogger(__name__).warning(
+                "truncated FASTQ record at EOF dropped (%r...)",
+                header[:40])
+            return
         yield FastqRecord(header.rstrip("\n").lstrip("@"), seq, qual)
 
 
 def iter_interleaved_pairs(path: str) -> Iterator[Tuple[FastqRecord, FastqRecord]]:
-    """Yield (R1, R2) record pairs from an interleaved FASTQ."""
+    """Yield (R1, R2) record pairs from an interleaved FASTQ. A trailing
+    unpaired record is dropped (count_kmer's interleaved loop reads two
+    records per iteration and stops when the second getline fails,
+    count_kmer.cpp:246-252)."""
     it = iter_fastq_records(path)
     while True:
         try:
             r1 = next(it)
         except StopIteration:
             return
-        r2 = next(it)
+        try:
+            r2 = next(it)
+        except StopIteration:
+            import logging
+            logging.getLogger(__name__).warning(
+                "odd record count: trailing unpaired read %r dropped",
+                r1.header[:40])
+            return
         yield r1, r2
 
 
 def iter_paired_pairs(path1: str, path2: str) -> Iterator[Tuple[FastqRecord, FastqRecord]]:
     it1, it2 = iter_fastq_records(path1), iter_fastq_records(path2)
     for r1 in it1:
-        yield r1, next(it2)
+        try:
+            r2 = next(it2)
+        except StopIteration:
+            import logging
+            logging.getLogger(__name__).warning(
+                "reads2 ended before reads1; trailing reads dropped")
+            return
+        yield r1, r2
 
 
 import re as _re

@@ -150,8 +150,16 @@ def assign_barcodes(map_path: str, fastq1: str, fastq2: str,
         it1, it2 = iter(f1), iter(f2)
         for h1 in it1:
             name, _ = parser.parse(h1.rstrip("\n").lstrip("@"))
-            s1, p1, q1 = (next(it1).rstrip("\n") for _ in range(3))
-            h2, s2, p2, q2 = (next(it2).rstrip("\n") for _ in range(4))
+            try:
+                s1, p1, q1 = [next(it1).rstrip("\n") for _ in range(3)]
+                h2, s2, p2, q2 = [next(it2).rstrip("\n")
+                                  for _ in range(4)]
+            except StopIteration:
+                # a genexp here would turn this into an opaque PEP 479
+                # RuntimeError; raise the real problem instead
+                raise ValueError(
+                    "truncated or length-mismatched R1/R2 FASTQ during "
+                    f"barcode assignment (at read {name!r})") from None
             barcode = read_to_barcode.get(name, "")
             if barcode and barcode != " ":
                 hdr = f"@{name} {barcode}-1"

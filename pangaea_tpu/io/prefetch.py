@@ -18,28 +18,47 @@ T = TypeVar("T")
 _SENTINEL = object()
 
 
+def _put_until(q: "queue.Queue", item, stop: "threading.Event") -> bool:
+    """put() that gives up when the consumer abandoned the stream —
+    an unconditional put would leave the producer thread blocked forever
+    on the bounded queue, pinning the source iterator (and any file
+    handles it owns) for the rest of the process."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
     q: queue.Queue = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put_until(q, item, stop):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put_until(q, _SENTINEL, stop)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def fixed_runs(it: Iterable[T], max_run: int, is_runnable,
@@ -63,15 +82,17 @@ def fixed_runs(it: Iterable[T], max_run: int, is_runnable,
     """
     q: queue.Queue = queue.Queue(maxsize=depth or 2 * max_run)
     err: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not _put_until(q, item, stop):
+                    return
         except BaseException as e:
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put_until(q, _SENTINEL, stop)
 
     threading.Thread(target=worker, daemon=True).start()
     run: list = []
@@ -82,23 +103,26 @@ def fixed_runs(it: Iterable[T], max_run: int, is_runnable,
         if ramp and target < max_run:
             target = min(max_run, target * 2)
 
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if run:
-                yield run
-            if err:
-                raise err[0]
-            return
-        if not is_runnable(item):
-            if run:
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if run:
+                    yield run
+                if err:
+                    raise err[0]
+                return
+            if not is_runnable(item):
+                if run:
+                    yield run
+                    run = []
+                    bump()
+                yield item
+                continue
+            run.append(item)
+            if len(run) == target:
                 yield run
                 run = []
                 bump()
-            yield item
-            continue
-        run.append(item)
-        if len(run) == target:
-            yield run
-            run = []
-            bump()
+    finally:
+        stop.set()

@@ -88,9 +88,16 @@ def revcomp_kmers_pair(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
     rc(A·B) = rc(B)·rc(A) for base strings A (k-16 bases) and B (16
     bases): the 2k-bit rc value is ``rc(B) << 2(k-16) | rc(A)`` with
     disjoint bit ranges, re-split into the same (hi, lo) layout.
+
+    k == 16 (kh == 0) is special-cased: the general formula would shift
+    uint32s by 32, which XLA leaves implementation-defined — a backend
+    with mod-32 shifts would silently corrupt every canonical k-mer.
     """
     assert 15 < k <= 31, k
     kh = k - 16
+    if kh == 0:
+        # all 16 bases live in lo; hi is always 0
+        return jnp.zeros_like(hi), revcomp_kmers(lo.astype(jnp.uint32), 16)
     rc_b = revcomp_kmers(lo.astype(jnp.uint32), 16)   # 32 bits
     rc_a = revcomp_kmers(hi.astype(jnp.uint32), kh)   # 2*kh bits
     new_hi = rc_b >> (32 - 2 * kh)

@@ -440,9 +440,14 @@ class ShardedFeatureExtractor(FeatureExtractor):
         super().__init__(cfg, feature_dir)
         self.mesh = mesh
         n = mesh.devices.size
-        # rows per batch must divide evenly across shards
+        # rows per batch must divide evenly across shards; round on a
+        # COPY — writing through cfg would mutate the caller's shared
+        # config (and compound across re-construction)
         if cfg.reads_per_batch % n:
-            cfg.reads_per_batch += n - cfg.reads_per_batch % n
+            import dataclasses
+            self.cfg = cfg = dataclasses.replace(
+                cfg, reads_per_batch=cfg.reads_per_batch
+                + n - cfg.reads_per_batch % n)
         self._row_sharding = NamedSharding(mesh, P("data"))
         self._mat_sharding = NamedSharding(mesh, P("data", None))
         self._repl = NamedSharding(mesh, P())

@@ -117,13 +117,20 @@ def preprocess_reads(args, reads_dir: str, runner: ToolRunner) -> str:
                         os.path.join(reads_dir, "short_reads_barcoded"))
         if not os.path.isfile(inter):
             log.info("[hybrid] assign barcodes")
-            assign_barcodes(short_map, r1, r2, inter)
+            assign_barcodes(short_map, r1, r2, inter + ".tmp")
+            os.replace(inter + ".tmp", inter)
     else:
         if not os.path.isfile(inter):
             log.info("[linked] Interleaving short reads")
-            interleave(r1, r2, inter)
+            interleave(r1, r2, inter + ".tmp")
+            os.replace(inter + ".tmp", inter)
     log.info("Sorting linked reads by barcode")
-    barcode_sort_interleaved(inter, sorted_fq)
+    # write-then-rename: resume checks are existence-based, so a sort
+    # killed mid-write must not leave a truncated sorted_fq that a rerun
+    # would silently accept (the backend/host dying mid-run is routine)
+    tmp_sorted = sorted_fq + ".tmp"
+    barcode_sort_interleaved(inter, tmp_sorted)
+    os.replace(tmp_sorted, sorted_fq)
     os.remove(inter)
     return sorted_fq
 

@@ -210,6 +210,7 @@ class Pipeline:
             else:
                 log.info("start assembly")
                 with timer.stage("step4_assemble"):
-                    self.step4_assemble()
+                    _retry_transient(self.step4_assemble,
+                                     "step 4 (assembly)")
         timer.dump(os.path.join(cfg.output, "metrics.json"))
         log.info("program finished successfully")

@@ -61,3 +61,25 @@ def test_kmer_window_values_small():
     got = [int(c) for c, v in zip(canon[0], np.asarray(valid)[0]) if v]
     want = list(oracle.scan_kmers(seq, k))
     assert got == want
+
+
+def test_revcomp_pair_k16():
+    """k=16 is the kh==0 corner of the split-word path: the general
+    formula would shift uint32 by 32 (XLA implementation-defined).
+    Compare against the scalar oracle."""
+    import jax.numpy as jnp
+    from pangaea_tpu.kernels.encode import (canonical_kmers_pair,
+                                            revcomp_kmers_pair)
+    from tests.oracle import canon, revcomp_val
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 4 ** 16, 512, dtype=np.int64)
+    hi = jnp.zeros(512, jnp.uint32)
+    lo = jnp.asarray(vals.astype(np.uint32))
+    rhi, rlo = revcomp_kmers_pair(hi, lo, 16)
+    assert (np.asarray(rhi) == 0).all()
+    want = np.array([revcomp_val(int(v), 16) for v in vals], np.int64)
+    np.testing.assert_array_equal(np.asarray(rlo).astype(np.int64), want)
+    chi, clo = canonical_kmers_pair(hi, lo, 16)
+    wantc = np.array([canon(int(v), 16) for v in vals], np.int64)
+    assert (np.asarray(chi) == 0).all()
+    np.testing.assert_array_equal(np.asarray(clo).astype(np.int64), wantc)
