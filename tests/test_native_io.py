@@ -166,3 +166,48 @@ def test_native_sortjoin_matches_scatter(simfile, tmp_path):
     assert n_names.tolist() == p_names.tolist()
     np.testing.assert_array_equal(n_abd, p_abd)
     np.testing.assert_array_equal(n_tnf, p_tnf)
+
+
+def test_native_single_group_spans_many_buffers(tmp_path):
+    """One barcode run covering several whole read buffers exercises the
+    deferred-carry path (fragments appended, concatenated once at
+    close); output must equal the python packer's, including the
+    unbarcoded tail run."""
+    import gzip
+    from pangaea_tpu.io.fast_packing import native_group_chunks
+    from pangaea_tpu.io.grouping import (iter_barcode_groups,
+                                         iter_read_pairs_interleaved)
+    from pangaea_tpu.io.packing import GroupPacker
+    import numpy as np
+    rng = np.random.default_rng(9)
+    fq = str(tmp_path / "span.fq.gz")
+    with gzip.open(fq, "wt") as f:
+        def write(bc_tag, n, tag0):
+            for i in range(n):
+                seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 60))
+                for r in (1, 2):
+                    f.write(f"@{tag0}{i}{bc_tag}\n{seq}\n+\n{'I'*60}\n")
+        write("\tBX:Z:AAA-1", 20, "a")     # small leading group
+        write("\tBX:Z:BBB-1", 300, "b")    # spans many 50-pair buffers
+        write("\tBX:Z:CCC-1", 25, "c")
+        write("", 120, "u")                # unbarcoded tail run
+    kw = dict(min_len=100, max_read_len=64, reads_per_batch=32)
+    chunks = list(native_group_chunks(fq, kw["min_len"], 64, 32,
+                                      groups_per_chunk=8,
+                                      pairs_per_buffer=50,
+                                      keep_dropped=True))
+    gp = GroupPacker(min_len=100, max_read_len=64, overlap=14,
+                     reads_per_batch=32, groups_per_chunk=8,
+                     keep_dropped=True)
+    ref = list(gp.iter_chunks(iter_barcode_groups(
+        iter_read_pairs_interleaved(fq))))
+    assert [c.names for c in chunks] == [c.names for c in ref]
+    for cn, cr in zip(chunks, ref):
+        got = sorted((int(s), int(l), bytes(code[:l].tobytes()))
+                     for b in cn.batches
+                     for s, l, code in zip(b.seg_ids, b.lengths, b.codes))
+        want = sorted((int(s), int(l), bytes(code[:l].tobytes()))
+                      for b in cr.batches
+                      for s, l, code in zip(b.seg_ids, b.lengths,
+                                            b.codes))
+        assert got == want
