@@ -109,7 +109,7 @@ def _scan1d_pallas(x: jax.Array, op_name: str,
     mat = xp.reshape(g * _ROWS, _LANES)
     # inside shard_map(check_vma=True) the out aval must state which mesh
     # axes it varies over — same as the input's
-    vma = getattr(jax.core.get_aval(mat), "vma", None)
+    vma = getattr(jax.typeof(mat), "vma", None)
     out_shape = jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.int32,
                                      **({"vma": vma} if vma else {}))
     out = pl.pallas_call(

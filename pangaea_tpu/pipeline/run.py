@@ -42,29 +42,31 @@ def check_step_finished(output: str, step: str) -> bool:
 
 # TPU backends can die mid-run with transient runtime errors (observed on
 # long jobs: FAILED_PRECONDITION / "TPU backend error"; the device then
-# recovers by itself within minutes). Every step is idempotent — it
-# either writes its marker or leaves a partial directory its own resume
-# logic handles — so one delayed in-process retry turns a transient
-# device death into a hiccup instead of a failed pipeline. Genuine bugs
+# recovers by itself, but observed wedges take up to ~10-20 minutes to
+# clear). Every step is idempotent — it either writes its marker or
+# leaves a partial directory its own resume logic handles — so delayed
+# in-process retries turn a transient device death into a hiccup instead
+# of a failed pipeline. The backoff schedule (2 + 6 + 12 min ≈ 20 min
+# total) is sized to outlast the longest observed wedge. Genuine bugs
 # (Python exceptions, shape errors) are NOT retried.
 _TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "TPU backend error",
                       "DEADLINE_EXCEEDED", "UNAVAILABLE")
-_TRANSIENT_RETRY_DELAY_S = 120.0
+_TRANSIENT_RETRY_DELAYS_S = (120.0, 360.0, 720.0)
 
 
 def _retry_transient(fn, what: str):
     import time
-    try:
-        return fn()
-    except Exception as e:  # noqa: BLE001 — filtered below
-        msg = f"{type(e).__name__}: {e}"
-        if not any(m in msg for m in _TRANSIENT_MARKERS):
-            raise
-        log.warning("%s hit a transient device error (%s); retrying in "
-                    "%.0f s", what, msg.splitlines()[0][:200],
-                    _TRANSIENT_RETRY_DELAY_S)
-        time.sleep(_TRANSIENT_RETRY_DELAY_S)
-        return fn()
+    for delay in _TRANSIENT_RETRY_DELAYS_S:
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            msg = f"{type(e).__name__}: {e}"
+            if not any(m in msg for m in _TRANSIENT_MARKERS):
+                raise
+            log.warning("%s hit a transient device error (%s); retrying in "
+                        "%.0f s", what, msg.splitlines()[0][:200], delay)
+            time.sleep(delay)
+    return fn()
 
 
 class Pipeline:

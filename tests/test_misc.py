@@ -175,11 +175,13 @@ def test_lazy_package_exports():
 
 
 def test_retry_transient_filters_errors(monkeypatch):
-    """Transient device errors retry once (after a delay); genuine bugs
-    propagate immediately."""
+    """Transient device errors retry with backoff (schedule sized to
+    outlast a 10-20 min wedge); genuine bugs propagate immediately."""
     import time
     from pangaea_tpu.pipeline import run as prun
-    monkeypatch.setattr(time, "sleep", lambda s: None)
+    slept = []
+    monkeypatch.setattr(time, "sleep", slept.append)
+    assert sum(prun._TRANSIENT_RETRY_DELAYS_S) >= 1100  # covers ~20 min wedge
     calls = []
 
     def flaky():
@@ -201,8 +203,10 @@ def test_retry_transient_filters_errors(monkeypatch):
     def always_dead():
         raise RuntimeError("UNAVAILABLE: socket closed")
 
-    with _pytest.raises(RuntimeError):  # second failure propagates
+    slept.clear()
+    with _pytest.raises(RuntimeError):  # exhausted retries propagate
         prun._retry_transient(always_dead, "test")
+    assert slept == list(prun._TRANSIENT_RETRY_DELAYS_S)
 
 
 def test_fixed_runs_deterministic_ramp():
