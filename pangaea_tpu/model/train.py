@@ -21,6 +21,31 @@ TPU-native design: the full (abd, tnf) matrix is device-resident; an
 input is just a (nb, batch) int32 index block => one host sync per eval
 cadence instead of per batch. Shapes are static per (nb, batch); at most
 two distinct nb values occur (100 and the epoch remainder).
+
+Fused loop (default since r4): dispatching one interval at a time costs a
+host<->device round trip per eval — ~200 round trips for the default
+100-epoch small-n geometry, which dominated wall-clock on the tunneled
+dev chip (r3 driver run: 99.8 s of training while the device needs ~0.1 s
+for the math). The loop is therefore restructured as a scan over "units"
+(one train interval + its val pass) with the EarlyStopping state machine
+and best-(params, bn) tracking carried ON DEVICE, so whole blocks of
+epochs run as ONE dispatch. Observed orderings (logs, rng consumption,
+parameter values, checkpoint content) are bit-identical to the stepwise
+loop — `_fit_stepwise` is kept as the executable reference
+implementation and `tests/test_model.py::test_fused_fit_equals_stepwise`
+pins the equivalence. Two exactness notes:
+
+- the host EarlyStopping compares `score < best + delta` in float64 on
+  exactly-f32-representable values; on device we compare
+  `(score - best) <= f32(delta)` in f32. Near the threshold the
+  subtraction is Sterbenz-exact, no f32 value lies strictly between
+  f32(1e-6) and 1e-6, and NaN/-inf propagate the same way through both
+  forms, so the decisions agree bit-for-bit.
+- the host rng (epoch sampling + per-eval val sampling) is pre-consumed
+  when a chunk is built; if early stop lands mid-chunk the rng state is
+  rolled back to the snapshot taken right after the stopping unit's
+  draw, so downstream consumers (dump_latent's shuffle) see exactly the
+  stepwise stream.
 """
 
 from __future__ import annotations
@@ -105,6 +130,13 @@ class VAETrainer:
                                     donate_argnums=(0, 1, 2))
         self._val_block = jax.jit(self._val_block_impl)
         self._embed_block = jax.jit(self._embed_block_impl)
+        # fused multi-epoch chunk (see module docstring); donates all
+        # mutable state so chunks chain without device-buffer copies.
+        self._unit_chunk = jax.jit(self._unit_chunk_impl,
+                                   donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        # per-fit phase timers (seconds), for the training-wall breakdown.
+        self.phase_times: Dict[str, float] = {}
+        self.val_history = []  # (epoch, done_batches, val_loss) per eval
 
     # ---- jitted blocks ----------------------------------------------------
 
@@ -161,12 +193,293 @@ class VAETrainer:
         _, mu = jax.lax.scan(step, None, idx)
         return mu.reshape(-1, self.model.latent_dim)
 
+    def _unit_chunk_impl(self, params, opt_state, bn_state, key,
+                         best_params, best_bn, es_state,
+                         abd_all, tnf_all,
+                         unit_idx, unit_counts, unit_live,
+                         val_idx, val_counts):
+        """Scan over units = (one train interval, one val pass, one
+        EarlyStopping transition). Shapes:
+
+        unit_idx    (C, U, B) int32   train batch indices (0-padded rows)
+        unit_counts (C, U)    int32   valid rows per batch; 0 = pad batch
+        unit_live   (C,)      bool    False = chunk-tail padding unit
+        val_idx     (C, vnb, B) int32 val batch indices per eval
+        val_counts  (vnb,)    int32   valid rows per val batch (static-ish)
+
+        es_state = (best_score f32, counter i32, stopped bool). Per-unit
+        outputs feed the host's log/rng replay. Math per batch is
+        identical to _train_block_impl/_val_block_impl; padded train rows
+        (count 0) are skipped WITHOUT consuming a PRNG split, masked val
+        rows consume splits exactly like _val_block_impl does.
+        """
+        grad_fn = jax.value_and_grad(self._loss_and_state, has_aux=True)
+        B = unit_idx.shape[2]
+        delta32 = jnp.float32(self.cfg.early_stop_delta)
+        patience = self.cfg.patience
+
+        def train_step(carry, xs):
+            bidx, cnt = xs
+
+            def do(c):
+                params, opt_state, bn_state, key = c
+                key, sub = jax.random.split(key)
+                bmask = (jnp.arange(B) < cnt).astype(jnp.float32)[:, None]
+                (_, (losses, new_bn)), grads = grad_fn(
+                    params, bn_state, abd_all[bidx], tnf_all[bidx],
+                    bmask, sub)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                stats = jnp.stack([losses["total"], losses["abd_rec"],
+                                   losses["tnf_rec"], losses["kl_loss"]])
+                return (params, opt_state, new_bn, key), stats, jnp.float32(1)
+
+            def skip(c):
+                return c, jnp.zeros(4, jnp.float32), jnp.float32(0)
+
+            c2, stats, w = jax.lax.cond(cnt > 0, do, skip, carry)
+            return c2, (stats, w)
+
+        def unit(carry, xs):
+            idxU, cntU, live, vidx = xs
+            (params, opt_state, bn_state, key,
+             best_p, best_b, best_score, counter, stopped) = carry
+
+            def run(_):
+                (params, opt_state, bn_state, key), (stats, w) = \
+                    jax.lax.scan(train_step,
+                                 (carry[0], carry[1], carry[2], carry[3]),
+                                 (idxU, cntU))
+                nreal = jnp.maximum(jnp.sum(w), 1.0)
+                stats_mean = jnp.sum(stats * w[:, None], axis=0) / nreal
+                key, sub = jax.random.split(key)
+
+                def val_step(vkey, vxs):
+                    bidx, cnt = vxs
+                    vkey, vsub = jax.random.split(vkey)
+                    bmask = (jnp.arange(B) < cnt).astype(jnp.float32)[:, None]
+                    out, _ = vae_forward(params, bn_state, self.model,
+                                         abd_all[bidx], tnf_all[bidx],
+                                         key=vsub, train=False, mask=bmask)
+                    losses = unlabeled_loss(out, self.model, self.wa,
+                                            self.wt, self.wkl, mask=bmask)
+                    return vkey, losses["total"]
+
+                _, totals = jax.lax.scan(val_step, sub, (vidx, val_counts))
+                val_loss = jnp.mean(totals)
+                # EarlyStopping transition (see module docstring for the
+                # f32-vs-f64 exactness argument)
+                score = -val_loss
+                improved = jnp.logical_not(score - best_score <= delta32)
+                n_counter = jnp.where(improved, 0, counter + 1)
+                n_stop = jnp.logical_and(jnp.logical_not(improved),
+                                         n_counter >= patience)
+                n_best_score = jnp.where(improved, score, best_score)
+                pick = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(improved, a, b), new, old)
+                n_best_p = pick(params, best_p)
+                n_best_b = pick(bn_state, best_b)
+                new_carry = (params, opt_state, bn_state, key,
+                             n_best_p, n_best_b, n_best_score, n_counter,
+                             n_stop)
+                return new_carry, (val_loss, stats_mean, improved, n_stop,
+                                   jnp.bool_(True))
+
+            def hold(_):
+                return carry, (jnp.float32(0), jnp.zeros(4, jnp.float32),
+                               jnp.bool_(False), stopped, jnp.bool_(False))
+
+            return jax.lax.cond(jnp.logical_and(live,
+                                                jnp.logical_not(stopped)),
+                                run, hold, None)
+
+        best_score, counter, stopped = es_state
+        carry0 = (params, opt_state, bn_state, key, best_params, best_bn,
+                  best_score, counter, stopped)
+        carry, outs = jax.lax.scan(unit, carry0,
+                                   (unit_idx, unit_counts, unit_live,
+                                    val_idx))
+        (params, opt_state, bn_state, key, best_params, best_bn,
+         best_score, counter, stopped) = carry
+        return (params, opt_state, bn_state, key, best_params, best_bn,
+                (best_score, counter, stopped), outs)
+
     # ---- host loop --------------------------------------------------------
 
     def fit(self, dataset: BarcodeDataset, model_dir: str,
             rng: Optional[np.random.RandomState] = None,
             jax_seed: int = 0) -> Tuple[Dict, Dict]:
-        """Train (resumable); returns (params, bn_state) of the best model."""
+        """Train (resumable); returns (params, bn_state) of the best model.
+
+        Default path is the fused device loop; set PANGAEA_TRAIN_LOOP=
+        stepwise to force the reference host loop (one dispatch per eval
+        cadence). Both produce bit-identical results
+        (tests/test_model.py::test_fused_fit_equals_stepwise).
+        """
+        if os.environ.get("PANGAEA_TRAIN_LOOP", "fused") == "stepwise":
+            return self._fit_stepwise(dataset, model_dir, rng=rng,
+                                      jax_seed=jax_seed)
+        return self._fit_fused(dataset, model_dir, rng=rng,
+                               jax_seed=jax_seed)
+
+    def _fit_fused(self, dataset: BarcodeDataset, model_dir: str,
+                   rng: Optional[np.random.RandomState] = None,
+                   jax_seed: int = 0) -> Tuple[Dict, Dict]:
+        import time as _time
+        cfg, model = self.cfg, self.model
+        rng = rng or np.random.RandomState(cfg.seed)
+        os.makedirs(model_dir, exist_ok=True)
+        ckpt = os.path.join(model_dir, "train_model.pk")
+
+        params, bn_state = init_vae(jax.random.PRNGKey(jax_seed), model)
+        if os.path.exists(ckpt):
+            log.info("training model already saved")
+            params, bn_state = load_params(ckpt)
+            return params, bn_state
+
+        opt_state = self.tx.init(params)
+        key = jax.random.PRNGKey(jax_seed + 1)
+        abd_all = jnp.asarray(dataset.abd)
+        tnf_all = jnp.asarray(dataset.tnf)
+
+        n = len(dataset)
+        val_size = dataset.val_size(cfg.val_fraction, cfg.val_max)
+        bsz = min(cfg.batch_size, n)
+        nb_epoch = -(-n // bsz)
+        ev = cfg.eval_every_batches
+        U = min(ev, nb_epoch)            # padded interval length
+        upe = -(-nb_epoch // ev)         # units (intervals+evals) per epoch
+        vnb = max(1, -(-val_size // bsz))
+        total_units = cfg.epochs * upe
+        # valid-row counts per epoch batch / per val batch (static geometry)
+        counts_epoch = np.full(nb_epoch, bsz, np.int32)
+        counts_epoch[-1] = n - (nb_epoch - 1) * bsz
+        vcounts = np.zeros(vnb, np.int32)
+        if val_size:
+            vcounts[:] = bsz
+            vcounts[-1] = val_size - (vnb - 1) * bsz
+        val_counts = jnp.asarray(vcounts)
+        # chunk size: amortize the dispatch round trip without minting
+        # huge uploads (cap ~48 MB of int32 indices per chunk)
+        per_unit_elems = (U + vnb) * bsz
+        C = max(1, min(total_units, 512 // max(1, U) or 1,
+                       (48 << 20) // (4 * per_unit_elems) or 1))
+
+        # --- unit generator: lazy rng draws + state snapshots -------------
+        # Draw order matches _fit_stepwise exactly: tidx at each epoch
+        # start, vidx per eval. snapshots[g] = rng state right after unit
+        # g's val draw (the stepwise stop point).
+        snapshots = {}
+
+        def units():
+            g = 0
+            for epoch in range(1, cfg.epochs + 1):
+                tidx = dataset.sample_indices(rng, n, replacement=True)
+                tmat, _ = batch_index_matrix(tidx, bsz)
+                for j in range(upe):
+                    lo = j * ev
+                    hi = min(lo + ev, nb_epoch)
+                    idxU = np.zeros((U, bsz), np.int32)
+                    cntU = np.zeros(U, np.int32)
+                    idxU[:hi - lo] = tmat[lo:hi]
+                    cntU[:hi - lo] = counts_epoch[lo:hi]
+                    vidx = dataset.sample_indices(rng, val_size,
+                                                  replacement=False)
+                    vmat, _ = batch_index_matrix(vidx, bsz)
+                    snapshots[g] = rng.get_state()
+                    yield (g, epoch, hi - lo, min(hi, nb_epoch), idxU, cntU,
+                           vmat)
+                    g += 1
+
+        best = {"params": None, "bn": None}
+        es_state = (jnp.float32(-np.inf), jnp.int32(0), jnp.bool_(False))
+        # distinct placeholder buffers (params itself is also donated, and
+        # aliased donation is an error); first eval always improves, so
+        # these are overwritten before ever being read.
+        best_p = jax.tree_util.tree_map(jnp.zeros_like, params)
+        best_b = jax.tree_util.tree_map(jnp.zeros_like, bn_state)
+        pt = self.phase_times = {"build": 0.0, "dispatch": 0.0,
+                                 "sync": 0.0, "ckpt_io": 0.0,
+                                 "chunks": 0}
+        self.val_history = []
+        gen = units()
+        done_units = 0
+        stopped_at = None
+        log.info("train start")
+        while done_units < total_units and stopped_at is None:
+            t0 = _time.perf_counter()
+            chunk = []
+            for _ in range(min(C, total_units - done_units)):
+                chunk.append(next(gen))
+            nlive = len(chunk)
+            unit_idx = np.zeros((C, U, bsz), np.int32)
+            unit_cnt = np.zeros((C, U), np.int32)
+            unit_live = np.zeros(C, bool)
+            v_idx = np.zeros((C, vnb, bsz), np.int32)
+            for i, (_, _, _, _, idxU, cntU, vmat) in enumerate(chunk):
+                unit_idx[i], unit_cnt[i], v_idx[i] = idxU, cntU, vmat
+                unit_live[i] = True
+            pt["build"] += _time.perf_counter() - t0
+
+            t0 = _time.perf_counter()
+            (params, opt_state, bn_state, key, best_p, best_b, es_state,
+             outs) = self._unit_chunk(
+                params, opt_state, bn_state, key, best_p, best_b, es_state,
+                abd_all, tnf_all, jnp.asarray(unit_idx),
+                jnp.asarray(unit_cnt), jnp.asarray(unit_live),
+                jnp.asarray(v_idx), val_counts)
+            pt["dispatch"] += _time.perf_counter() - t0
+            pt["chunks"] += 1
+
+            t0 = _time.perf_counter()
+            val_losses, stats, improved, stop_flags, ran = \
+                [np.asarray(o) for o in outs]
+            pt["sync"] += _time.perf_counter() - t0
+
+            # replay the stepwise loop's observable behavior
+            any_improved = False
+            for i, (g, epoch, nb_u, done_b, *_rest) in enumerate(chunk):
+                if not ran[i]:
+                    break
+                self.val_history.append((epoch, done_b,
+                                         float(val_losses[i])))
+                if nb_u == ev:  # the reference logs full cadences only
+                    t, a, tn, kl = stats[i]
+                    log.info(
+                        "epoch %d/%d batch %d/%d: train %.8f abd %.8f "
+                        "tnf %.8f kl %.8f | test %.8f", epoch, cfg.epochs,
+                        done_b, nb_epoch, t, a, tn, kl, val_losses[i])
+                any_improved |= bool(improved[i])
+                if stop_flags[i]:
+                    stopped_at = g
+                    break
+            done_units += nlive
+            if any_improved:
+                t0 = _time.perf_counter()
+                host_p, host_bn = jax.tree_util.tree_map(
+                    np.asarray, (best_p, best_b))
+                best["params"], best["bn"] = host_p, host_bn
+                save_params(ckpt, host_p, host_bn)
+                pt["ckpt_io"] += _time.perf_counter() - t0
+
+        if stopped_at is not None:
+            log.info("early stop triggered")
+            # roll rng back to the stepwise stream's stop point
+            rng.set_state(snapshots[stopped_at])
+        if best["params"] is None:  # epochs == 0 corner: save init
+            host_p, host_bn = jax.tree_util.tree_map(
+                np.asarray, (params, bn_state))
+            save_params(ckpt, host_p, host_bn)
+            best["params"], best["bn"] = host_p, host_bn
+        log.info("train phases (s): %s", {k: (round(v, 3) if k != "chunks"
+                                              else v) for k, v in pt.items()})
+        return best["params"], best["bn"]
+
+    def _fit_stepwise(self, dataset: BarcodeDataset, model_dir: str,
+                      rng: Optional[np.random.RandomState] = None,
+                      jax_seed: int = 0) -> Tuple[Dict, Dict]:
+        """Reference host loop: one dispatch per interval/eval. Kept as
+        the executable spec the fused loop is tested against."""
         cfg, model = self.cfg, self.model
         rng = rng or np.random.RandomState(cfg.seed)
         os.makedirs(model_dir, exist_ok=True)
@@ -210,6 +523,7 @@ class VAETrainer:
             return key, float(jnp.mean(totals))
 
         log.info("train start")
+        self.val_history = []
         for epoch in range(1, cfg.epochs + 1):
             tidx = dataset.sample_indices(rng, n, replacement=True)
             tmat, tmask = batch_index_matrix(tidx, bsz)
@@ -224,6 +538,7 @@ class VAETrainer:
                 done += nb
                 if nb == ev:  # the reference evals only on full cadences
                     key, val_loss = run_val(key)
+                    self.val_history.append((epoch, done, val_loss))
                     t, a, tn, kl = np.asarray(stats)
                     log.info(
                         "epoch %d/%d batch %d/%d: train %.8f abd %.8f "
@@ -235,6 +550,7 @@ class VAETrainer:
                 break
             if nb_epoch % ev != 0:  # VAENET.py:111-115
                 key, val_loss = run_val(key)
+                self.val_history.append((epoch, nb_epoch, val_loss))
                 early(val_loss)
                 if early.early_stop:
                     log.info("early stop triggered")

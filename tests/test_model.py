@@ -287,3 +287,48 @@ def test_bf16_matmul_forward_close_and_trains(setup, tmp_path):
     from sklearn.metrics import adjusted_rand_score
     pred = KMeans(3, n_init=10, random_state=0).fit_predict(mu)
     assert adjusted_rand_score(lab, pred) > 0.9
+
+
+@pytest.mark.parametrize("n,bsz,ev,epochs,patience", [
+    (50, 8, 10, 6, 100),    # nb_epoch < ev: driver geometry, epoch-end evals
+    (64, 8, 4, 5, 100),     # nb_epoch % ev == 0: full cadences only
+    (90, 8, 5, 6, 100),     # mixed: units of 5,5,2 per epoch
+    (90, 8, 5, 40, 2),      # early stop triggers mid-run
+    (50, 8, 10, 30, 1),     # early stop, small-n geometry
+])
+def test_fused_fit_equals_stepwise(tmp_path, n, bsz, ev, epochs, patience):
+    """The fused device loop must be observationally identical to the
+    stepwise reference loop: same val-loss sequence, same stop point,
+    bit-equal best params/bn, same checkpoint bytes, and the SAME host
+    rng stream afterwards (dump_latent's shuffle depends on it)."""
+    ds, _ = make_synth_dataset(n=n)
+    model = make_model()
+    cfg = ModelConfig(epochs=epochs, batch_size=bsz, patience=patience,
+                      eval_every_batches=ev)
+
+    out = {}
+    for mode in ("stepwise", "fused"):
+        d = tmp_path / mode
+        trainer = VAETrainer(model, cfg)
+        rng = np.random.RandomState(2021)
+        if mode == "stepwise":
+            p, bn = trainer._fit_stepwise(ds, str(d), rng=rng, jax_seed=0)
+        else:
+            p, bn = trainer._fit_fused(ds, str(d), rng=rng, jax_seed=0)
+        out[mode] = dict(p=jax.tree_util.tree_map(np.asarray, p),
+                         bn=jax.tree_util.tree_map(np.asarray, bn),
+                         hist=list(trainer.val_history),
+                         rng_after=rng.get_state(),
+                         ckpt=(d / "train_model.pk").read_bytes())
+
+    s, f = out["stepwise"], out["fused"]
+    assert [(e, b) for e, b, _ in s["hist"]] == \
+           [(e, b) for e, b, _ in f["hist"]]
+    np.testing.assert_array_equal(
+        np.asarray([v for *_, v in s["hist"]], np.float32),
+        np.asarray([v for *_, v in f["hist"]], np.float32))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, s["p"], f["p"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, s["bn"], f["bn"])
+    assert s["ckpt"] == f["ckpt"]
+    sa, fa = s["rng_after"], f["rng_after"]
+    assert sa[0] == fa[0] and (sa[1] == fa[1]).all() and sa[2:] == fa[2:]
