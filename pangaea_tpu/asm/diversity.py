@@ -24,30 +24,50 @@ from pangaea_tpu.asm.tools import ToolRunner
 log = logging.getLogger(__name__)
 
 
-def shannon_from_profile(profile_path: str) -> float:
-    """Species-level (s__, not t__) Shannon diversity of one metaphlan
-    profile (relative-abundance column)."""
-    abunds: List[float] = []
-    with open(profile_path) as f:
-        for line in f:
-            if line.startswith("#"):
-                continue
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) < 3:
-                continue
-            clade = parts[0]
-            if "s__" in clade and "t__" not in clade:
+def shannon_from_profile(profile_path: str,
+                         taxon_separator: str = "t__") -> float:
+    """Shannon diversity of one metaphlan profile, replicating the R
+    stage's semantics (calculate_diversity.R invoked by
+    calculate_diversity.sh:64 WITHOUT ``-s``, so the separator defaults
+    to ``t__`` — SGB-level rows, calculate_diversity.R:49-50,119):
+
+    - keep rows whose clade path CONTAINS the separator (R ``grep``,
+      :119-121);
+    - microbiome::alpha diversity_shannon: drop zeros, p = x/sum(x),
+      H = -sum(p ln p) (the table's /100 rescale at :157 cancels);
+    - the ``mat[2,1]`` second-sample pick (:262) reads the duplicated
+      column of the profile merged with itself
+      (calculate_diversity.sh:62) — identical to this single pass.
+
+    Falls back to ``s__`` rows when the profile has no ``t__`` rows
+    (metaphlan3-style profiles — outside the reference contract, but
+    strictly better than returning 0).
+    """
+    def collect(sep: str) -> List[float]:
+        out: List[float] = []
+        with open(profile_path) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 3 or sep not in parts[0]:
+                    continue
                 try:
-                    abunds.append(float(parts[2]))
+                    out.append(float(parts[2]))
                 except ValueError:
                     continue
-    total = sum(abunds)
+        return out
+
+    abunds = collect(taxon_separator)
+    if not abunds and taxon_separator == "t__":
+        abunds = collect("s__")
+    total = sum(a for a in abunds if a > 0)
     if total <= 0:
         return 0.0
     h = 0.0
     for a in abunds:
-        p = a / total
-        if p > 0:
+        if a > 0:
+            p = a / total
             h -= p * math.log(p)
     return h
 

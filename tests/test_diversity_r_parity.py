@@ -1,0 +1,156 @@
+"""Formula-level parity fixture for the replaced R diversity stage.
+
+The reference pipeline's auto-k path runs
+``calculate_diversity.sh`` -> metaphlan -> ``metaphlan_tables.py``
+(profile merged with ITSELF) -> ``calculate_diversity.R -d alpha -m
+shannon`` (no ``-s``: taxon_separator defaults to **t__**) ->
+``mat[2,1]`` (the duplicated second sample). R itself is not installed
+here, so the oracle below is a line-for-line transliteration of the R
+script's semantics (calculate_diversity.R:113-157,238-263 + the
+microbiome package's ``diversity_shannon``: drop zeros, p = x/sum(x),
+H = -sum(p ln p)), exercised on synthetic metaphlan4-style profiles and
+compared against our `shannon_from_profile` / `merge_metaphlan_tables`.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pangaea_tpu.asm.diversity import (merge_metaphlan_tables,
+                                       shannon_from_profile)
+
+
+def r_stage_oracle(merged_tsv_path: str, taxon_separator: str = "t__"):
+    """Transliteration of calculate_diversity.R alpha/shannon.
+
+    Returns the value the R script writes to *_shannon.txt (mat[2,1]:
+    the SECOND sample column's diversity), or None where the R script
+    would error (e.g. fewer than 2 sample columns after the zero-sum
+    removal — mat[2,1] out of range).
+    """
+    # read.table(comment.char='#', header=TRUE, check.names=FALSE)
+    lines = [l for l in open(merged_tsv_path).read().splitlines()
+             if not l.startswith("#")]
+    header = lines[0].split("\t")
+    rows = [l.split("\t") for l in lines[1:]]
+    ncbi_cols = [i for i, c in enumerate(header) if "ncbi" in c.lower()]
+    # grep(taxon_separator, mpa_table[,1]) — substring match anywhere
+    rows = [r for r in rows if taxon_separator in r[0]]
+    sample_idx = [i for i in range(1, len(header)) if i not in ncbi_cols]
+    cols = {i: np.array([float(r[i]) for r in rows]) for i in sample_idx}
+    # remove samples with all unknowns (colSums == 0)
+    kept = [i for i in sample_idx if cols[i].sum() != 0]
+    if len(kept) < 2:
+        return None
+    # mpa_table <- mpa_table / 100 (cancels in shannon's normalization)
+    x = cols[kept[1]] / 100.0       # mat[2,1] == second sample
+    x = x[x > 0]                    # microbiome: ignore zeros
+    if len(x) == 0:
+        return None
+    p = x / x.sum()
+    return float(-(p * np.log(p)).sum())
+
+
+def write_profile(path, rows, version="#mpa_vOct22_CHOCOPhlAnSGB_202212"):
+    with open(path, "w") as f:
+        f.write(version + "\n")
+        f.write("#clade_name\tNCBI_tax_id\trelative_abundance\t"
+                "additional_species\n")
+        for clade, tax, abund in rows:
+            f.write(f"{clade}\t{tax}\t{abund}\n")
+
+
+MPA4_PROFILE = [
+    # full metaphlan4-style multi-level profile: every level present;
+    # only the t__ (SGB) rows count for the reference's default
+    ("k__Bacteria", "2", "100.0"),
+    ("k__Bacteria|p__Firmicutes", "2|1239", "62.0"),
+    ("k__Bacteria|p__Proteobacteria", "2|1224", "38.0"),
+    ("k__Bacteria|p__Firmicutes|c__Bacilli|o__Lactobacillales|"
+     "f__Streptococcaceae|g__Streptococcus|s__Streptococcus_mutans",
+     "2|1239|91061|186826|1300|1301|1309", "42.0"),
+    ("k__Bacteria|p__Firmicutes|c__Bacilli|o__Lactobacillales|"
+     "f__Streptococcaceae|g__Streptococcus|s__Streptococcus_mutans|"
+     "t__SGB8047", "2|1239|91061|186826|1300|1301|1309|", "30.0"),
+    ("k__Bacteria|p__Firmicutes|c__Bacilli|o__Lactobacillales|"
+     "f__Streptococcaceae|g__Streptococcus|s__Streptococcus_mutans|"
+     "t__SGB8048", "2|1239|91061|186826|1300|1301|1309|", "12.0"),
+    ("k__Bacteria|p__Proteobacteria|c__Gammaproteobacteria|"
+     "o__Enterobacterales|f__Enterobacteriaceae|g__Escherichia|"
+     "s__Escherichia_coli", "2|1224|1236|91347|543|561|562", "38.0"),
+    ("k__Bacteria|p__Proteobacteria|c__Gammaproteobacteria|"
+     "o__Enterobacterales|f__Enterobacteriaceae|g__Escherichia|"
+     "s__Escherichia_coli|t__SGB10068_group",
+     "2|1224|1236|91347|543|561|562|", "38.0"),
+]
+
+
+def test_r_oracle_on_reference_flow(tmp_path):
+    """Replicates the exact reference flow: profile merged with itself,
+    R-stage oracle on the merged table == our direct computation."""
+    profile = str(tmp_path / "profiled.txt")
+    write_profile(profile, MPA4_PROFILE)
+    merged = str(tmp_path / "profiles_table.tsv")
+    merge_metaphlan_tables([profile, profile], merged)
+    oracle = r_stage_oracle(merged)
+    assert oracle is not None
+    ours = shannon_from_profile(profile)
+    assert math.isclose(ours, oracle, rel_tol=0, abs_tol=1e-12)
+    # value check: t__ rows are 30/12/38 (NOT the s__ 42/38 split)
+    p = np.array([30.0, 12.0, 38.0])
+    p = p / p.sum()
+    expected = float(-(p * np.log(p)).sum())
+    assert math.isclose(ours, expected, abs_tol=1e-12)
+    # and it differs from the s__-level value, so separator choice is
+    # actually exercised
+    ps = np.array([42.0, 38.0])
+    ps = ps / ps.sum()
+    assert not math.isclose(ours, float(-(ps * np.log(ps)).sum()),
+                            abs_tol=1e-6)
+
+
+def test_r_oracle_zero_abundance_rows_dropped(tmp_path):
+    rows = MPA4_PROFILE + [
+        ("k__Bacteria|p__X|c__Y|o__Z|f__W|g__V|s__U|t__SGB999",
+         "2|", "0.0")]
+    profile = str(tmp_path / "profiled.txt")
+    write_profile(profile, rows)
+    merged = str(tmp_path / "profiles_table.tsv")
+    merge_metaphlan_tables([profile, profile], merged)
+    assert math.isclose(shannon_from_profile(profile),
+                        r_stage_oracle(merged), abs_tol=1e-12)
+
+
+def test_r_oracle_random_sweep(tmp_path):
+    rng = np.random.RandomState(3)
+    for trial in range(25):
+        n_sgb = rng.randint(1, 12)
+        rows = [("k__Bacteria", "2", "100.0")]
+        for i in range(n_sgb):
+            ab = round(float(rng.rand() * 40), 5)
+            rows.append((f"k__Bacteria|p__P|c__C|o__O|f__F|g__G|s__S{i}|"
+                         f"t__SGB{i}", "2|", str(ab)))
+        profile = str(tmp_path / f"profiled_{trial}.txt")
+        write_profile(profile, rows)
+        merged = str(tmp_path / f"merged_{trial}.tsv")
+        merge_metaphlan_tables([profile, profile], merged)
+        oracle = r_stage_oracle(merged)
+        ours = shannon_from_profile(profile)
+        if oracle is None:
+            assert ours == 0.0
+        else:
+            assert math.isclose(ours, oracle, abs_tol=1e-12)
+
+
+def test_metaphlan3_fallback_uses_species_rows(tmp_path):
+    """Profiles with no t__ rows (metaphlan3) fall back to s__ — outside
+    the reference contract but better than k=0; documented in
+    shannon_from_profile."""
+    rows = [r for r in MPA4_PROFILE if "t__" not in r[0]]
+    profile = str(tmp_path / "profiled.txt")
+    write_profile(profile, rows)
+    ps = np.array([42.0, 38.0])
+    ps = ps / ps.sum()
+    assert math.isclose(shannon_from_profile(profile),
+                        float(-(ps * np.log(ps)).sum()), abs_tol=1e-12)
