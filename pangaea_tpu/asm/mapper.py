@@ -9,7 +9,16 @@ alignments, so the built-in fallback is a k-mer vote mapper that runs on
 the TPU:
 
 - index: dense 4^k int32 table (k=13 => 256 MB HBM) mapping canonical
-  k-mer -> contig_id+1 (last writer wins on collisions).
+  k-mer -> contig_id+1. On collisions (a k-mer shared by two contigs —
+  e.g. a repeat copied between genomes) a per-k-mer hash coin decides
+  the winner (min-id vs max-id), so a shared repeat's k-mers split
+  ~50/50 between its copies. This mirrors bwa's arbitrary primary-
+  alignment tie-break (which jgi depths then count), and halves the
+  repeat-migration depth bias of the previous last-writer-wins rule:
+  measured on a 3-contig sim with a 15% shared repeat, the repeat-free
+  contig's depth is exact and the repeat carriers diverge by about half
+  the repeat fraction (tests/test_asm.py::
+  test_kmer_mapper_depth_error_bound_and_cutoff_agreement).
 - map: for a packed read batch, gather contig ids for every canonical
   k-mer window, sort ids per row, and take the longest equal-run => (best
   contig, vote count, valid window count) per row. Sorting rides the TPU's
@@ -55,6 +64,10 @@ def _iter_packed(seqs: Iterator[Tuple[str, int]], max_len: int, overlap: int,
         yield out
 
 
+# empty-table sentinel: below every signed-magnitude entry (see below)
+_EMPTY = jnp.int32(-(2 ** 31))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "overlap"),
                    donate_argnames=("table",))
 def _index_batch(table, codes, lengths, seg_ids, cont, *, k, overlap):
@@ -63,15 +76,23 @@ def _index_batch(table, codes, lengths, seg_ids, cont, *, k, overlap):
     canon = canonical_kmers(vals, k)
     idx = jnp.where(valid & (seg_ids[:, None] >= 0), canon,
                     jnp.int32(table.shape[0]))
-    val = (seg_ids[:, None] + 1) * jnp.ones_like(canon)
-    return table.at[idx.ravel()].set(val.ravel(), mode="drop")
+    # Collision rule via one max-scatter: a per-k-mer hash bit picks the
+    # sign convention, so max() keeps the LARGEST id for half the k-mers
+    # (positive entries) and the SMALLEST id for the other half (negative
+    # entries, where max = least negative = min id). Contig id is
+    # recovered as |entry| - 1; _EMPTY loses every max().
+    coin = ((canon * jnp.int32(-1640531527)) >> 15) & 1  # 0x9E3779B9
+    mag = (seg_ids[:, None] + 1) * jnp.ones_like(canon)
+    val = jnp.where(coin == 1, mag, -mag)
+    return table.at[idx.ravel()].max(val.ravel(), mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _map_batch(table, codes, lengths, *, k):
     vals, valid = kmer_window_values(codes, lengths, k)
     canon = canonical_kmers(vals, k)
-    ids = jnp.where(valid, table[canon], 0)  # 0 = unmatched/invalid
+    ent = table[canon]
+    ids = jnp.where(valid & (ent != _EMPTY), jnp.abs(ent), 0)  # 0 = none
     R, W = ids.shape
     s = jnp.sort(ids, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
@@ -103,7 +124,7 @@ class KmerMapper:
         """contigs: [(name, seq), ...]"""
         self.contig_names = [c[0].split()[0] for c in contigs]
         self.contig_lengths = [len(c[1]) for c in contigs]
-        self.table = jnp.zeros(4 ** self.k, jnp.int32)
+        self.table = jnp.full(4 ** self.k, _EMPTY, jnp.int32)
         seqs = ((seq, i) for i, (_, seq) in enumerate(contigs))
         for b in _iter_packed(seqs, self.max_row_len, self.k - 1, self.rows):
             self.table = _index_batch(
