@@ -12,11 +12,13 @@ from pangaea_tpu.parallel.dist import (ShardedFeatureExtractor,
                                        make_sharded_kmer_counter,
                                        make_sharded_sortjoin,
                                        make_sharded_sortjoin_pair,
-                                       sharded_train_block, sharded_lloyd)
+                                       sharded_train_block, sharded_unit_chunk,
+                                       sharded_lloyd)
 
 __all__ = ["data_mesh", "data_sharding", "replicated_sharding",
            "initialize_distributed", "ShardedFeatureExtractor",
            "make_sharded_kmer_counter", "make_sharded_sortjoin",
            "make_sharded_sortjoin_pair",
            "sharded_train_block",
+           "sharded_unit_chunk",
            "sharded_lloyd"]

@@ -615,6 +615,21 @@ def sharded_train_block(trainer, mesh: Mesh):
     )
 
 
+def sharded_unit_chunk(trainer, mesh: Mesh):
+    """Rebind a VAETrainer's fused multi-epoch chunk (model/train.py
+    _unit_chunk_impl) with mesh shardings: batch index matrices shard
+    over the batch dim, all state (params/opt/bn/early-stop/best) is
+    replicated — the same data-parallel layout as sharded_train_block,
+    for the loop that now runs whole epoch blocks per dispatch."""
+    repl = NamedSharding(mesh, P())
+    idx3_sh = NamedSharding(mesh, P(None, None, "data"))
+    return jax.jit(
+        trainer._unit_chunk_impl,
+        donate_argnums=(0, 1, 2, 3, 4, 5, 6),
+        in_shardings=(repl,) * 9 + (idx3_sh, repl, repl, idx3_sh, repl),
+        out_shardings=(repl,) * 7 + ((repl,) * 5,))
+
+
 def sharded_lloyd(mesh: Mesh, max_iter: int = 300):
     """kmeans Lloyd with X rows sharded over the mesh."""
     from pangaea_tpu.cluster.kmeans import _lloyd

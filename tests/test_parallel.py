@@ -457,3 +457,76 @@ def test_sharded_beyond_mesh_cap_spills(tmp_path, monkeypatch):
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_sharded_unit_chunk_matches_single(mesh):
+    """The fused multi-epoch train chunk under mesh shardings ==
+    single-device chunk (same early-stop transitions, val losses, and
+    parameters to sharded-matmul tolerance)."""
+    from pangaea_tpu.parallel import sharded_unit_chunk
+
+    rng = np.random.RandomState(4)
+    model = VAE(abd_dim=40, tnf_dim=16, hidden_sizes=(32, 32), latent_dim=8,
+                dropout=0.0)
+    cfg = ModelConfig(batch_size=32, patience=2)
+    n, bsz, C, U, vnb = 128, 32, 4, 2, 2
+    abd = jnp.asarray(rng.rand(n, 40).astype(np.float32))
+    tnf = jnp.asarray(rng.rand(n, 16).astype(np.float32))
+    uidx = rng.randint(0, n, (C, U, bsz)).astype(np.int32)
+    ucnt = np.full((C, U), bsz, np.int32)
+    ucnt[-1, -1] = 17  # a partial batch
+    ulive = np.array([True, True, True, False])
+    vidx = rng.randint(0, n, (C, vnb, bsz)).astype(np.int32)
+    vcnt = np.array([bsz, 11], np.int32)
+
+    def run_single():
+        trainer = VAETrainer(model, cfg)
+        key = jax.random.PRNGKey(5)  # per-run: the chunk donates it
+        params, bn = init_vae(jax.random.PRNGKey(0), model)
+        opt = trainer.tx.init(params)
+        bz = jax.tree_util.tree_map(jnp.zeros_like, params)
+        bb = jax.tree_util.tree_map(jnp.zeros_like, bn)
+        es = (jnp.float32(-np.inf), jnp.int32(0), jnp.bool_(False))
+        return trainer._unit_chunk(
+            params, opt, bn, key, bz, bb, es, abd, tnf,
+            jnp.asarray(uidx), jnp.asarray(ucnt), jnp.asarray(ulive),
+            jnp.asarray(vidx), jnp.asarray(vcnt))
+
+    def run_sharded():
+        trainer = VAETrainer(model, cfg)
+        key = jax.random.PRNGKey(5)
+        params, bn = init_vae(jax.random.PRNGKey(0), model)
+        opt = trainer.tx.init(params)
+        repl = NamedSharding(mesh, P())
+        idx3 = NamedSharding(mesh, P(None, None, "data"))
+        chunk = sharded_unit_chunk(trainer, mesh)
+        bz = jax.tree_util.tree_map(jnp.zeros_like, params)
+        bb = jax.tree_util.tree_map(jnp.zeros_like, bn)
+        es = (jnp.float32(-np.inf), jnp.int32(0), jnp.bool_(False))
+        return chunk(
+            jax.device_put(params, repl), jax.device_put(opt, repl),
+            jax.device_put(bn, repl), jax.device_put(key, repl),
+            jax.device_put(bz, repl), jax.device_put(bb, repl),
+            jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), es),
+            jax.device_put(abd, repl), jax.device_put(tnf, repl),
+            jax.device_put(jnp.asarray(uidx), idx3),
+            jax.device_put(jnp.asarray(ucnt), repl),
+            jax.device_put(jnp.asarray(ulive), repl),
+            jax.device_put(jnp.asarray(vidx), idx3),
+            jax.device_put(jnp.asarray(vcnt), repl))
+
+    out1 = run_single()
+    out2 = run_sharded()
+    (val1, stats1, imp1, stop1, ran1) = [np.asarray(o) for o in out1[7]]
+    (val2, stats2, imp2, stop2, ran2) = [np.asarray(o) for o in out2[7]]
+    np.testing.assert_array_equal(ran1, ran2)
+    np.testing.assert_array_equal(imp1, imp2)
+    np.testing.assert_array_equal(stop1, stop2)
+    np.testing.assert_allclose(val1[ran1], val2[ran2], rtol=2e-4, atol=1e-5)
+    p1, p2 = out1[0], out2[0]
+    np.testing.assert_allclose(np.asarray(p1["out"]["w"]),
+                               np.asarray(p2["out"]["w"]), rtol=2e-3,
+                               atol=2e-5)
+    es1, es2 = out1[6], out2[6]
+    assert int(es1[1]) == int(es2[1])     # patience counter
+    assert bool(es1[2]) == bool(es2[2])   # stopped flag
