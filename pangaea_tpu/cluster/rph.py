@@ -29,6 +29,28 @@ from pangaea_tpu.cluster.reduce import RPPointReducer
 
 log = logging.getLogger(__name__)
 
+# Below this many matrix elements, the whole fit (reduce + Lloyd x
+# n_init) runs on the host CPU backend: each init costs several
+# dispatch+sync round trips of sub-millisecond math, and on a tunneled
+# TPU the round trips alone were ~10 s for a 3000x32 latent that CPU
+# clusters in <1 s (the reference's own rph_kmeans: 0.25 s on 5400x2,
+# BASELINE.md). The accelerator pays off when the Lloyd matmuls carry
+# real volume — ~250k+ barcodes at latent 32.
+_DEVICE_MIN_ELEMS = int(__import__("os").environ.get(
+    "PANGAEA_CLUSTER_DEVICE_MIN_ELEMS", 8_000_000))
+
+
+def _cluster_device(X: np.ndarray):
+    import contextlib
+    import jax
+    if X.size >= _DEVICE_MIN_ELEMS:
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
 
 class RPHKMeans:
     def __init__(self, n_clusters: int = 8, n_init: int = 1,
@@ -89,22 +111,24 @@ class RPHKMeans:
     def fit(self, X: np.ndarray) -> "RPHKMeans":
         X = np.ascontiguousarray(X, dtype=np.float32)
         self.inertia_ = np.inf
-        for i in range(self.n_init):
-            init_c, red_x, red_w, rp_iter = self.init_centers(X)
-            C, labels, inertia, n_iter = kmeans_lloyd(
-                X, init_c, max_iter=self.final_max_iter, tol=self.final_tol)
-            if self.verbose:
-                log.info("rph init %d/%d: inertia %.6g (%d iters)",
-                         i + 1, self.n_init, inertia, n_iter)
-            if inertia < self.inertia_:
-                self.inertia_ = inertia
-                self.cluster_centers_ = C
-                self.labels_ = labels
-                self.n_iter_ = n_iter
-                self.init_centers_ = init_c
-                self.reduced_X_ = red_x
-                self.reduced_X_weight_ = red_w
-                self.rp_iter_ = rp_iter
+        with _cluster_device(X):
+            for i in range(self.n_init):
+                init_c, red_x, red_w, rp_iter = self.init_centers(X)
+                C, labels, inertia, n_iter = kmeans_lloyd(
+                    X, init_c, max_iter=self.final_max_iter,
+                    tol=self.final_tol)
+                if self.verbose:
+                    log.info("rph init %d/%d: inertia %.6g (%d iters)",
+                             i + 1, self.n_init, inertia, n_iter)
+                if inertia < self.inertia_:
+                    self.inertia_ = inertia
+                    self.cluster_centers_ = C
+                    self.labels_ = labels
+                    self.n_iter_ = n_iter
+                    self.init_centers_ = init_c
+                    self.reduced_X_ = red_x
+                    self.reduced_X_weight_ = red_w
+                    self.rp_iter_ = rp_iter
         return self
 
     def fit_predict(self, X: np.ndarray) -> np.ndarray:

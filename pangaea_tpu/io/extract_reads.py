@@ -43,11 +43,41 @@ def read_clusters_tsv(path: str) -> Tuple[Dict[str, str], List[str]]:
     return barcode2cluster, ids
 
 
+def _extract_reads_native(clusters_tsv: str, output_prefix: str,
+                          reads1: str, reads2: str,
+                          interleaved: str) -> bool:
+    """C++ fast path (native/fastq_reader.cpp pgn_extract_reads — the
+    reference's extract_reads is C++ too; the per-pair Python loop below
+    costs ~10x more). Returns False when the library is unavailable or
+    errors, in which case the caller falls back byte-compatibly."""
+    import ctypes
+    from pangaea_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pgn_extract_reads"):
+        return False
+    lib.pgn_extract_reads.restype = ctypes.c_longlong
+    lib.pgn_extract_reads.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+    if interleaved:
+        rc = lib.pgn_extract_reads(clusters_tsv.encode(),
+                                   output_prefix.encode(),
+                                   interleaved.encode(), b"", 1)
+    else:
+        rc = lib.pgn_extract_reads(clusters_tsv.encode(),
+                                   output_prefix.encode(),
+                                   reads1.encode(), reads2.encode(), 0)
+    return rc >= 0
+
+
 def extract_reads(clusters_tsv: str, output_prefix: str,
                   reads1: str = "", reads2: str = "",
                   interleaved: str = "") -> List[str]:
     """Split reads into bins; returns the list of written .fq paths."""
     barcode2cluster, ids = read_clusters_tsv(clusters_tsv)
+    if (interleaved or (reads1 and reads2)) and _extract_reads_native(
+            clusters_tsv, output_prefix, reads1, reads2, interleaved):
+        return [f"{output_prefix}_bin{cid}.fq" for cid in ids]
     fq_files = {cid: open(f"{output_prefix}_bin{cid}.fq", "w")
                 for cid in ids}
     bc_files = {cid: open(f"{output_prefix}_bin{cid}.barcode", "w")

@@ -659,4 +659,164 @@ long long pgn_sort_emit(int in_fd, const char* out_path) {
     return ok ? n : -1;
 }
 
+// ---- bin materialization (extract_reads port) ------------------------
+//
+// Split reads into per-cluster bin files, replicating the reference
+// binary src/cpptools/extract_reads.cpp:40-197 (and the Python port
+// io/extract_reads.py, which stays as the fallback): clusters.tsv
+// order, id "-1" skipped, R1 header rewritten to "@name\tBX:Z:bc-1",
+// R2 passthrough on the interleaved path; both rewritten and
+// name/barcode-mismatch pairs dropped on the paired path. C++ because
+// the per-pair Python loop was ~10 s of the 240k-read driver bench
+// (bench.py --driver-ours split) where the reference pays ~1 s.
+//
+// Returns pairs written, or -1 on IO error (callers fall back).
+long long pgn_extract_reads(const char* tsv_path, const char* out_prefix,
+                            const char* in1, const char* in2,
+                            int interleaved) {
+    std::FILE* tsv = fopen(tsv_path, "rb");
+    if (!tsv) return -1;
+    // id list in tsv order + barcode -> file slot
+    std::vector<std::string> ids;
+    std::unordered_map<std::string, int> bc2slot;
+    {
+        std::string all;
+        char tmp[1 << 16];
+        size_t got;
+        while ((got = fread(tmp, 1, sizeof tmp, tsv)) > 0)
+            all.append(tmp, got);
+        fclose(tsv);
+        size_t start = 0;
+        while (start < all.size()) {
+            size_t nl = all.find('\n', start);
+            if (nl == std::string::npos) nl = all.size();
+            std::string line = all.substr(start, nl - start);
+            start = nl + 1;
+            if (line.empty()) continue;
+            size_t tab = line.find('\t');
+            std::string cid = line.substr(0, tab);
+            if (cid == "-1") continue;
+            int slot = static_cast<int>(ids.size());
+            ids.push_back(cid);
+            if (tab == std::string::npos) continue;
+            size_t p = tab + 1;
+            while (p <= line.size()) {
+                size_t c = line.find(',', p);
+                if (c == std::string::npos) c = line.size();
+                if (c > p) bc2slot[line.substr(p, c - p)] = slot;
+                p = c + 1;
+            }
+        }
+    }
+    struct Out {
+        std::FILE* fq;
+        std::FILE* bc;
+    };
+    std::vector<Out> outs;
+    outs.reserve(ids.size());
+    bool ok = true;
+    for (const std::string& cid : ids) {
+        std::string fq = std::string(out_prefix) + "_bin" + cid + ".fq";
+        std::string bf = std::string(out_prefix) + "_bin" + cid +
+                         ".barcode";
+        Out o{fopen(fq.c_str(), "wb"), fopen(bf.c_str(), "wb")};
+        if (!o.fq || !o.bc) ok = false;
+        outs.push_back(o);
+    }
+    std::string name, barcode, rec;
+    rec.reserve(1 << 12);
+    if (ok && interleaved) {
+        void* h = pgn_open(in1, 0);
+        if (!h) ok = false;
+        Reader* r = h ? static_cast<Reader*>(h) : nullptr;
+        std::string l[8];
+        while (ok) {
+            int got = 0;
+            for (; got < 8; ++got)
+                if (!r->getline(l[got])) break;
+            if (got < 8) break;
+            std::string hdr = l[0];
+            size_t at = 0;
+            while (at < hdr.size() && hdr[at] == '@') ++at;  // lstrip('@')
+            parse_header(r, hdr.substr(at), name, barcode);
+            auto it = bc2slot.find(barcode);
+            if (it == bc2slot.end()) continue;
+            Out& o = outs[it->second];
+            rec.clear();
+            rec += '@';
+            rec += name;
+            rec += "\tBX:Z:";
+            rec += barcode;
+            rec += "-1\n";
+            for (int i = 1; i < 8; ++i) {
+                rec += l[i];
+                rec += '\n';
+            }
+            ok = fwrite(rec.data(), 1, rec.size(), o.fq) == rec.size() &&
+                 fwrite(barcode.data(), 1, barcode.size(), o.bc) ==
+                     barcode.size() &&
+                 fputc('\n', o.bc) != EOF;
+        }
+        if (h) pgn_close(h);
+    } else if (ok) {
+        void* h1 = pgn_open(in1, 0);
+        void* h2 = pgn_open(in2, 0);
+        if (!h1 || !h2) ok = false;
+        Reader* r1 = h1 ? static_cast<Reader*>(h1) : nullptr;
+        Reader* r2 = h2 ? static_cast<Reader*>(h2) : nullptr;
+        std::string a[4], b[4], name2, barcode2;
+        while (ok) {
+            int got = 0;
+            for (; got < 4; ++got)
+                if (!r1->getline(a[got])) break;
+            if (got < 4) break;
+            got = 0;
+            for (; got < 4; ++got)
+                if (!r2->getline(b[got])) break;
+            if (got < 4) break;
+            size_t at = 0;
+            while (at < a[0].size() && a[0][at] == '@') ++at;
+            parse_header(r1, a[0].substr(at), name, barcode);
+            at = 0;
+            while (at < b[0].size() && b[0][at] == '@') ++at;
+            parse_header(r2, b[0].substr(at), name2, barcode2);
+            auto it = bc2slot.find(barcode);
+            if (it == bc2slot.end() || name != name2 ||
+                barcode != barcode2)
+                continue;
+            Out& o = outs[it->second];
+            rec.clear();
+            rec += '@';
+            rec += name;
+            rec += "\tBX:Z:";
+            rec += barcode;
+            rec += "-1\n";
+            for (int i = 1; i < 4; ++i) {
+                rec += a[i];
+                rec += '\n';
+            }
+            rec += '@';
+            rec += name2;
+            rec += "\tBX:Z:";
+            rec += barcode2;
+            rec += "-1\n";
+            for (int i = 1; i < 4; ++i) {
+                rec += b[i];
+                rec += '\n';
+            }
+            ok = fwrite(rec.data(), 1, rec.size(), o.fq) == rec.size() &&
+                 fwrite(barcode.data(), 1, barcode.size(), o.bc) ==
+                     barcode.size() &&
+                 fputc('\n', o.bc) != EOF;
+        }
+        if (h1) pgn_close(h1);
+        if (h2) pgn_close(h2);
+    }
+    for (Out& o : outs) {
+        if (o.fq && fclose(o.fq) != 0) ok = false;
+        if (o.bc && fclose(o.bc) != 0) ok = false;
+    }
+    return ok ? 0 : -1;
+}
+
 }  // extern "C"

@@ -211,3 +211,62 @@ def test_native_single_group_spans_many_buffers(tmp_path):
                       for s, l, code in zip(b.seg_ids, b.lengths,
                                             b.codes))
         assert got == want
+
+
+def test_native_extract_reads_equals_python(tmp_path):
+    """pgn_extract_reads == the Python port byte-for-byte on interleaved
+    AND paired input (incl. stLFR headers, unclustered barcodes, id -1
+    skip)."""
+    import pangaea_tpu.io.extract_reads as er
+    from pangaea_tpu.io.sim import simulate_linked_reads
+
+    for mode in ("interleaved", "paired", "stlfr"):
+        d = tmp_path / mode
+        d.mkdir()
+        kw = dict(n_species=2, genome_len=6_000, n_barcodes=12,
+                  pairs_per_barcode=5, read_len=60, seed=3)
+        if mode == "paired":
+            r1, r2 = str(d / "r1.fq.gz"), str(d / "r2.fq.gz")
+            simulate_linked_reads(out_r1=r1, out_r2=r2, **kw)
+            inputs = dict(reads1=r1, reads2=r2)
+            sim_bcs = None
+        else:
+            fq = str(d / "r.fq.gz")
+            simulate_linked_reads(out_interleaved=fq,
+                                  fmt="stlfr" if mode == "stlfr" else "10x",
+                                  **kw)
+            inputs = dict(interleaved=fq)
+        # clusters: 3 bins + an id -1 line + some unclustered barcodes
+        import gzip
+        src = inputs.get("interleaved") or inputs["reads1"]
+        with gzip.open(src, "rt") as f:
+            from pangaea_tpu.io.fastq import BarcodeParser
+            p = BarcodeParser()
+            bcs = []
+            for i, line in enumerate(f):
+                if i % 4 == 0:
+                    _, bc = p.parse(line.rstrip("\n").lstrip("@"))
+                    if bc and bc not in bcs:
+                        bcs.append(bc)
+        tsv = str(d / "clusters.tsv")
+        with open(tsv, "w") as f:
+            f.write("0\t" + ",".join(bcs[0:4]) + "\n")
+            f.write("-1\t" + ",".join(bcs[4:6]) + "\n")
+            f.write("7\t" + ",".join(bcs[6:9]) + "\n")
+        # native
+        ok = er._extract_reads_native(tsv, str(d / "nat"), 
+                                      inputs.get("reads1", ""),
+                                      inputs.get("reads2", ""),
+                                      inputs.get("interleaved", ""))
+        assert ok, "native extract unavailable"
+        # python fallback (force)
+        import unittest.mock as um
+        with um.patch.object(er, "_extract_reads_native",
+                             return_value=False):
+            er.extract_reads(tsv, str(d / "py"), **inputs)
+        for cid in ("0", "7"):
+            for ext in (".fq", ".barcode"):
+                a = (d / f"nat_bin{cid}{ext}").read_bytes()
+                b = (d / f"py_bin{cid}{ext}").read_bytes()
+                assert a == b, (mode, cid, ext)
+            assert (d / f"py_bin{cid}.fq").stat().st_size > 0
