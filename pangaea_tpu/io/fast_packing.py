@@ -366,9 +366,14 @@ def native_group_events(interleaved: str, min_len: int, max_read_len: int,
         finally:
             rd.close()
 
-    yield from _group_event_core(buffers(), min_len, max_read_len,
-                                 reads_per_batch, groups_per_chunk,
-                                 keep_dropped)
+    # the reader (C inflate+parse+encode, GIL released) gets its own
+    # thread so it overlaps the numpy grouping/packing — without this
+    # the whole host chain (read -> group -> pack -> upload) serializes
+    # on the single event-stream worker (VERDICT r3 item 3)
+    from pangaea_tpu.io.prefetch import prefetch
+    yield from _group_event_core(prefetch(buffers(), depth=2), min_len,
+                                 max_read_len, reads_per_batch,
+                                 groups_per_chunk, keep_dropped)
 
 
 def native_group_events_paired(reads1: str, reads2: str, min_len: int,
@@ -406,12 +411,19 @@ def native_group_events_paired(reads1: str, reads2: str, min_len: int,
             lowq = None
         return codes, lengths, bcs, names, lowq
 
+    # the two files inflate+parse+encode CONCURRENTLY (ctypes releases
+    # the GIL); previously they ran back to back on one thread
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(2)
+
     def buffers():
         try:
             done = False
             while not done:
-                o1 = unpack(rd1.read(pairs_per_buffer))
-                o2 = unpack(rd2.read(pairs_per_buffer))
+                f1 = pool.submit(rd1.read, pairs_per_buffer)
+                f2 = pool.submit(rd2.read, pairs_per_buffer)
+                o1 = unpack(f1.result())
+                o2 = unpack(f2.result())
                 if o1 is None and o2 is None:
                     yield None, None, None, None, None
                     return
@@ -477,12 +489,14 @@ def native_group_events_paired(reads1: str, reads2: str, min_len: int,
                               if with_lowq else None))
                 yield codes, lengths, b1, lowq, extra
         finally:
+            pool.shutdown(wait=False)
             rd1.close()
             rd2.close()
 
-    yield from _group_event_core(buffers(), min_len, max_read_len,
-                                 reads_per_batch, groups_per_chunk,
-                                 keep_dropped)
+    from pangaea_tpu.io.prefetch import prefetch
+    yield from _group_event_core(prefetch(buffers(), depth=2), min_len,
+                                 max_read_len, reads_per_batch,
+                                 groups_per_chunk, keep_dropped)
 
 
 def native_group_chunks(interleaved: str, min_len: int, max_read_len: int,

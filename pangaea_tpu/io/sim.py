@@ -45,6 +45,11 @@ def simulate_linked_reads(
     low_qual_rate: float = 0.0,
     seed: int = 0,
     fmt: str = "10x",
+    ani_siblings: int = 0,
+    ani: float = 0.97,
+    abundance: str = "dirichlet",
+    zipf_exponent: float = 1.25,
+    shared_segment_frac: float = 0.0,
 ) -> SimResult:
     """Write barcode-sorted linked reads; returns ground-truth labels.
 
@@ -58,6 +63,20 @@ def simulate_linked_reads(
     above it — heterogeneous quality strings exercise the masked global
     pass. Errored bases always get a low quality (the realistic
     correlation, and it makes masking matter).
+
+    Hard-mixture knobs (all default OFF and consume no extra rng draws,
+    so cached datasets from earlier rounds replay identically):
+
+    - ``ani_siblings``: the LAST this-many species are derived from
+      earlier species by point-mutating a ``1 - ani`` fraction of bases
+      — e.g. 97% ANI strain pairs whose TNF signatures nearly coincide,
+      the regime where the reference's own binning drops below ARI 1.0.
+    - ``abundance='zipf'``: species proportions follow a Zipf law with
+      ``zipf_exponent`` (rank order shuffled), so tail species get few
+      barcodes/coverage instead of the gentle Dirichlet skew.
+    - ``shared_segment_frac``: a plasmid-like segment of this fraction
+      of the genome length is generated once and spliced into EVERY
+      genome at a random position (shared k-mer content across species).
     """
     rng = np.random.default_rng(seed)
     # Species get distinct base-composition biases (Dirichlet-sampled) so
@@ -65,10 +84,28 @@ def simulate_linked_reads(
     # coverages (=> abundance histograms) differ — mirroring real
     # metagenomes, where both signals drive the reference's binning.
     genomes = []
-    for _ in range(n_species):
+    n_base = n_species - ani_siblings
+    for _ in range(n_base):
         probs = rng.dirichlet(np.full(4, 1.5))
         genomes.append("".join("ACGT"[b] for b in
                                rng.choice(4, genome_len, p=probs)))
+    for i in range(ani_siblings):
+        parent = np.frombuffer(genomes[i % n_base].encode(), np.uint8)
+        child = parent.copy()
+        mut = rng.random(len(child)) < (1.0 - ani)
+        # substitute with a random DIFFERENT base at each mutated site
+        child[mut] = _BASES[
+            (np.searchsorted(_BASES, child[mut])
+             + rng.integers(1, 4, int(mut.sum()))) % 4]
+        genomes.append(child.tobytes().decode())
+    if shared_segment_frac > 0:
+        seg_len = max(1, int(genome_len * shared_segment_frac))
+        probs = rng.dirichlet(np.full(4, 1.5))
+        seg = "".join("ACGT"[b] for b in rng.choice(4, seg_len, p=probs))
+        for i in range(n_species):
+            pos = int(rng.integers(0, genome_len - seg_len))
+            genomes[i] = (genomes[i][:pos] + seg
+                          + genomes[i][pos + seg_len:])
 
     # distinct fixed-width ACGT barcodes, emitted in sorted order so the
     # stream is barcode-sorted like the reference's step-0 output.
@@ -81,7 +118,12 @@ def simulate_linked_reads(
     bcs = sorted(bcs[:n_barcodes])
 
     # skewed species proportions => distinct coverages per species
-    props = rng.dirichlet(np.full(n_species, 2.0))
+    if abundance == "zipf":
+        ranks = rng.permutation(n_species) + 1.0
+        props = ranks ** (-zipf_exponent)
+        props /= props.sum()
+    else:
+        props = rng.dirichlet(np.full(n_species, 2.0))
     barcode_species = {bc: int(rng.choice(n_species, p=props)) for bc in bcs}
 
     def mutate(s: str) -> Tuple[str, str]:

@@ -233,3 +233,48 @@ def test_fixed_runs_deterministic_ramp():
     out = list(fixed_runs(iter([("b", i) for i in range(7)]), 4,
                           lambda e: True, ramp=False))
     assert [len(o) for o in out] == [4, 3]
+
+
+def test_sim_hard_mixture_knobs():
+    """ani_siblings / zipf / shared segment produce the intended genome
+    relationships without disturbing the default rng stream."""
+    import tempfile, os
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    d = tempfile.mkdtemp()
+    # defaults consume the same stream as before the knobs existed
+    a = simulate_linked_reads(out_interleaved=os.path.join(d, "a.fq"),
+                              n_species=3, genome_len=4000, n_barcodes=10,
+                              pairs_per_barcode=3, seed=5)
+    b = simulate_linked_reads(out_interleaved=os.path.join(d, "b.fq"),
+                              n_species=3, genome_len=4000, n_barcodes=10,
+                              pairs_per_barcode=3, seed=5)
+    assert open(os.path.join(d, "a.fq")).read() == \
+        open(os.path.join(d, "b.fq")).read()
+    # hard mixture: sibling genomes differ by ~1-ani
+    from pangaea_tpu.io import sim as sim_mod
+    rng = np.random.default_rng(7)
+    res = simulate_linked_reads(
+        out_interleaved=os.path.join(d, "h.fq"), n_species=4,
+        genome_len=20_000, n_barcodes=20, pairs_per_barcode=3, seed=7,
+        ani_siblings=2, ani=0.97, abundance="zipf",
+        shared_segment_frac=0.05)
+    assert res.n_pairs == 60
+    # regenerate the genomes the same way to inspect ANI
+    rng2 = np.random.default_rng(7)
+    genomes = []
+    for _ in range(2):
+        probs = rng2.dirichlet(np.full(4, 1.5))
+        genomes.append("".join("ACGT"[x] for x in
+                               rng2.choice(4, 20_000, p=probs)))
+    for i in range(2):
+        parent = np.frombuffer(genomes[i % 2].encode(), np.uint8)
+        child = parent.copy()
+        mut = rng2.random(len(child)) < 0.03
+        child[mut] = sim_mod._BASES[
+            (np.searchsorted(sim_mod._BASES, child[mut])
+             + rng2.integers(1, 4, int(mut.sum()))) % 4]
+        genomes.append(child.tobytes().decode())
+    g0 = np.frombuffer(genomes[0].encode(), np.uint8)
+    g2 = np.frombuffer(genomes[2].encode(), np.uint8)
+    diff = (g0 != g2).mean()
+    assert 0.02 < diff < 0.04  # ~3% divergence = 97% ANI

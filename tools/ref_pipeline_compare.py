@@ -190,6 +190,12 @@ def main():
                     help="feed both pipelines -1/-2 paired files: the "
                          "reference's quality-masked jellyfish flow "
                          "(src/feature.py:76-86); the dump is masked")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard mixture (VERDICT r3 item 5): half the "
+                         "species are 97%%-ANI siblings of the other "
+                         "half, Zipf abundances, a 5%% shared "
+                         "plasmid-like segment — a regime where the "
+                         "reference itself scores ARI < 1")
     ap.add_argument("--report", default="")
     ap.add_argument("--ours-backend", default="",
                     help="force a jax backend for our side (e.g. cpu)")
@@ -214,6 +220,9 @@ def main():
         print(f"simulating {args.barcodes * args.pairs * 2} reads ...")
         kw = (dict(out_r1=r1, out_r2=r2) if args.paired
               else dict(out_interleaved=inter))
+        if args.hard:
+            kw.update(ani_siblings=args.species // 2, ani=0.97,
+                      abundance="zipf", shared_segment_frac=0.05)
         res = simulate_linked_reads(
             n_species=args.species, genome_len=args.genome_len,
             n_barcodes=args.barcodes, pairs_per_barcode=args.pairs,
