@@ -1134,7 +1134,11 @@ class FeatureExtractor:
         # count_tnf binaries emit. The .pkl caches are written at load
         # time (load_features), mirroring src/feature.py:115-119 where
         # pd.read_csv(...).to_pickle happens in the Python load step,
-        # not in the extraction binaries.
+        # not in the extraction binaries. Written SEQUENTIALLY on
+        # purpose: a two-thread variant segfaulted intermittently in
+        # pandas/pyarrow's string-array construction (ArrowStringArray
+        # _from_sequence is not thread-safe in this build) — the ~130 ms
+        # it saved is not worth a crashing writer.
         self._write_csv_gz(self.abd_gz, names, abd)
         self._write_csv_gz(self.tnf_gz, names, tnf)
 

@@ -67,6 +67,70 @@ def main():
             (k, int(tnf.sum()), kept_reads * twpr)
         print(f"k={k}: {len(names)} groups, abd windows {kept}/"
               f"{tot_windows}, tnf total {int(tnf.sum())} OK")
+
+    # ---- k=21 BYTE-PARITY on silicon (VERDICT r3 item 6) -------------
+    # our split-word sort-join runs on the REAL chip; the reference
+    # count_kmer (compiled from /root/reference) runs on the host fed a
+    # jellyfish-format k=21 dump; abundance CSVs must agree exactly.
+    import subprocess
+    from tools.refstack import build_ref_tools, BIN, write_jellyfish_dump
+    if not build_ref_tools(["count_kmer"]):
+        print("reference tools unavailable; PARITY SKIPPED")
+        return
+    k = 21
+    dump = os.path.join(tmp, "k21.dump")
+    write_jellyfish_dump(fq, dump, k=k)
+    cfg = FeatureConfig(kmer=k, tnf_kmer=4, min_length=2000,
+                        max_read_len=128, reads_per_batch=2048,
+                        min_qual_char=None)
+    fe = FeatureExtractor(cfg, os.path.join(tmp, "k21_parity"))
+    names, abd, _tnf = fe.extract_features(interleaved=fq)
+    ref_out = os.path.join(tmp, "ref_k21.gz")
+    subprocess.run([os.path.join(BIN, "count_kmer"), "-i", fq, "-g", dump,
+                    "-k", str(k), "-l", "2000", "-w", "10", "-v", "400",
+                    "-t", "2", "-o", ref_out],
+                   check=True, capture_output=True)
+    import gzip
+    ref_names, ref_rows = [], []
+    with gzip.open(ref_out, "rt") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(",")
+            ref_names.append(parts[0])
+            ref_rows.append([float(x) for x in parts[1:]])
+    assert list(names) == ref_names, "group names/order mismatch"
+    ref_mat = np.array(ref_rows)
+    assert abd.shape == ref_mat.shape
+    assert (abd.astype(np.float64) == ref_mat).all(), "abundance mismatch"
+    print(f"K21 PARITY PASS ({len(names)} groups, {abd.shape[1]} bins)")
+
+    # ---- timed split-word pair sort at a headline shape --------------
+    # 2^25 (hi, lo) windows — the one sort shape never timed on silicon
+    # before r4. Consumes ALL sort outputs (CLAUDE.md: a key-only sort
+    # lets XLA dead-code the payload).
+    import time
+    import jax
+    import jax.numpy as jnp
+    from pangaea_tpu.kernels.features import (kmer_key_sentinel_pair,
+                                              sortjoin_bins_pair)
+    from pangaea_tpu.utils import device_sync
+    n = 1 << 25
+    rng = np.random.default_rng(0)
+    hi = rng.integers(0, 1 << 20, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 22, n, dtype=np.uint32)
+    shi, slo = kmer_key_sentinel_pair(21)
+    inv = rng.random(n) < 0.1
+    hi[inv], lo[inv] = shi, slo
+    hi_d, lo_d = jnp.asarray(hi), jnp.asarray(lo)
+    bins = sortjoin_bins_pair(hi_d, lo_d, k=21, window=10,
+                              vector_size=400)
+    device_sync(bins)  # compile + warm at the exact shape
+    t0 = time.time()
+    bins = sortjoin_bins_pair(hi_d, lo_d, k=21, window=10,
+                              vector_size=400)
+    device_sync(bins)
+    dt = time.time() - t0
+    print(f"PAIR SORTJOIN {n} windows: {dt*1e9/n:.2f} ns/window "
+          f"({dt:.3f} s)")
     print("DRIVE OK")
 
 
