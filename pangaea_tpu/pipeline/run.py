@@ -142,8 +142,12 @@ class Pipeline:
             bcs = np.load(os.path.join(self.model_dir, "barcodes.npz"),
                           allow_pickle=True)["arr_0"]
             k = cfg.cluster.n_clusters or self._estimate_k()
+            # seeded: the reference's rph_kmeans draws from the GLOBAL
+            # np.random that init_all seeds to 2021 (utils.py:84-88), so
+            # its step 3 is reproducible; ours must be too
             clusters = clustering_rph_kmeans(
-                emb, k, n_init=cfg.cluster.n_init)
+                emb, k, n_init=cfg.cluster.n_init,
+                random_state=cfg.model.seed)
             np.savez(out_npz, clusters)
             c2b = defaultdict(list)
             for i in range(len(bcs)):
