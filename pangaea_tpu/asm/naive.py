@@ -28,12 +28,42 @@ def _kmers_of(seq: str, k: int) -> Iterator[str]:
 
 
 def assemble_unitigs(seqs: Iterable[str], k: int = 31,
-                     min_len: int = 100, min_count: int = 1) -> List[str]:
+                     min_len: int = 100,
+                     min_count: int | None = None) -> List[str]:
+    """min_count=None turns on count-threshold error correction only
+    when the data shows errors: sequencing errors at real coverage mint
+    a LARGE singleton-k-mer fraction (each error spawns ~k unique
+    k-mers), and keeping them fragments the graph at every error branch
+    — at 60-90x coverage with 0.5% errors the expected branch spacing
+    is a few bp and NO unitig reaches min_len (observed: every cluster
+    bin of the 2.5M-read soak assembled to 0 contigs). The rule:
+
+    - depth is measured count-weighted (sum(c^2)/sum(c) — the coverage
+      an average INSTANCE sees; plain distinct-average is dragged to ~1
+      by the error singletons themselves);
+    - when singletons are <20% of distinct k-mers (error-free input:
+      only genome edges) or depth < 8 (the low-abundance reassembly
+      floors), every k-mer is kept — exactness tests and low-coverage
+      recovery are unchanged;
+    - otherwise the threshold 1 + depth//12 sits far above the error
+      recurrence rate (Poisson(depth*err/3)) and far below the
+      true-k-mer depth (Poisson(depth) dropout < 1e-6 at depth >= 12) —
+      the one-line version of what megahit's error correction does."""
     counts: Dict[str, int] = {}
+    total = 0
     for seq in seqs:
         for strand in (seq, revcomp(seq)):
             for km in _kmers_of(strand.upper(), k):
                 counts[km] = counts.get(km, 0) + 1
+                total += 1
+    if min_count is None:
+        min_count = 1
+        if counts:
+            singletons = sum(1 for c in counts.values() if c == 1)
+            if singletons >= 0.2 * len(counts):
+                depth_w = sum(c * c for c in counts.values()) / total
+                if depth_w >= 8.0:
+                    min_count = max(2, int(depth_w // 12) + 1)
     kmers: Set[str] = {km for km, c in counts.items() if c >= min_count}
 
     def succs(km: str) -> List[str]:
@@ -101,7 +131,7 @@ def assemble_unitigs(seqs: Iterable[str], k: int = 31,
 
 
 def assemble_fastq(fq_path: str, out_fa: str, k: int = 31,
-                   min_len: int = 200, min_count: int = 1,
+                   min_len: int = 200, min_count: int | None = None,
                    name_prefix: str = "k{k}_") -> int:
     """Assemble one FASTQ into a fasta; returns contig count."""
     seqs = (rec.seq for rec in iter_fastq_records(fq_path))

@@ -305,3 +305,30 @@ def test_kmer_mapper_depth_error_bound_and_cutoff_agreement(tmp_path):
                       if true_bases[tid] / len(seq) >= cutoff}
         ours_keep = set(keep_above(depth_path, cutoff))
         assert ours_keep == truth_keep, (cutoff, ours_keep, truth_keep)
+
+
+def test_naive_assembler_error_reads_auto_mincount():
+    """High-coverage reads WITH sequencing errors must still assemble
+    into long unitigs: auto min_count drops singleton (error) k-mers
+    (observed failure: 0.5% errors at ~90x fragmented every unitig below
+    min_len -> 0 contigs from every soak cluster bin)."""
+    from pangaea_tpu.asm.naive import assemble_unitigs
+
+    rng = np.random.RandomState(11)
+    genome = "".join("ACGT"[b] for b in rng.randint(0, 4, 20_000))
+    reads = []
+    for _ in range(20_000 * 60 // 100):  # ~60x of 100bp reads
+        lo = rng.randint(0, 20_000 - 100)
+        r = list(genome[lo:lo + 100])
+        for j in np.flatnonzero(rng.rand(100) < 0.005):  # 0.5% errors
+            r[j] = "ACGT"[rng.randint(4)]
+        reads.append("".join(r))
+    contigs = assemble_unitigs(reads, k=31, min_len=500)
+    assert contigs, "auto min_count failed to clean error k-mers"
+    total = sum(len(c) for c in contigs)
+    assert total > 15_000, (len(contigs), total)
+    assert max(len(c) for c in contigs) > 2_000
+    # low-coverage path still keeps singletons (min_count auto -> 1)
+    few = [genome[i:i + 100] for i in range(0, 3_000, 60)]
+    low = assemble_unitigs(few, k=31, min_len=500)
+    assert low, "low-coverage floor must keep singleton k-mers"
