@@ -332,3 +332,62 @@ def test_naive_assembler_error_reads_auto_mincount():
     few = [genome[i:i + 100] for i in range(0, 3_000, 60)]
     low = assemble_unitigs(few, k=31, min_len=500)
     assert low, "low-coverage floor must keep singleton k-mers"
+
+
+def test_metaphlan_shannon_end_to_end_with_stub(tmp_path, monkeypatch):
+    """Execute the WHOLE metaphlan auto-k orchestration against a stub
+    metaphlan executable (the real tool + >25 GB DB are absent from
+    this image): latest-index discovery, the reference's exact argv
+    (calculate_diversity.sh:59), profile -> merged table -> shannon ->
+    profiles_table_shannon.txt layout, and the k = int(8 * shannon)
+    glue (src/clustering.py:100-101)."""
+    import math
+    import stat
+    from pangaea_tpu.asm.diversity import metaphlan_shannon
+
+    db = tmp_path / "db"
+    db.mkdir()
+    for f in ("mpa_vJan21_X.1.bt2l", "mpa_vOct22_SGB.1.bt2l",
+              "mpa_vOct22_SGB.rev.1.bt2l"):
+        (db / f).write_text("")
+    # stub metaphlan: checks argv shape, writes a fixed mpa4 profile
+    stub_dir = tmp_path / "bin"
+    stub_dir.mkdir()
+    stub = stub_dir / "metaphlan"
+    stub.write_text("""#!/bin/bash
+set -e
+out=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    -o) out="$2"; shift 2;;
+    --index) [ "$2" = "mpa_vOct22_SGB" ] || exit 3; shift 2;;
+    *) shift;;
+  esac
+done
+cat > "$out" <<'PROF'
+#mpa_vOct22_CHOCOPhlAnSGB_202212
+#clade_name	NCBI_tax_id	relative_abundance	additional_species
+k__Bacteria	2	100.0
+k__Bacteria|p__F|c__C|o__O|f__F|g__G|s__A	2|1	60.0
+k__Bacteria|p__F|c__C|o__O|f__F|g__G|s__A|t__SGB1	2|1|	60.0
+k__Bacteria|p__F|c__C|o__O|f__F|g__G|s__B	2|2	40.0
+k__Bacteria|p__F|c__C|o__O|f__F|g__G|s__B|t__SGB2	2|2|	40.0
+PROF
+""")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub_dir}:{os.environ['PATH']}")
+    reads = tmp_path / "reads.fq"
+    reads.write_text("@r1\nACGT\n+\nIIII\n")
+    h = metaphlan_shannon(str(reads), str(db), str(tmp_path / "work"))
+    p = np.array([0.6, 0.4])
+    expected = float(-(p * np.log(p)).sum())
+    assert math.isclose(h, expected, abs_tol=1e-12)
+    # artifact layout the pipeline's step 3 reads (src/clustering.py:100)
+    shannon_txt = (tmp_path / "work" / "metaphlan_tmp" /
+                   "diversity_analysis" / "profiles_table_shannon.txt")
+    assert math.isclose(float(shannon_txt.read_text()), expected,
+                        abs_tol=1e-12)
+    merged = (tmp_path / "work" / "metaphlan_tmp" / "profiles_table.tsv")
+    assert merged.exists()
+    # the auto-k glue
+    assert int(8 * h) == 5
