@@ -157,9 +157,17 @@ def map_pairs_to_bam(mapper: KmerMapper, pair_iter, bam_path: str,
     """Map read pairs, write BAM records, accumulate per-contig depth.
 
     Returns {contig_idx: total_bases_mapped} (depth = bases / length).
-    A mate maps when votes >= min_vote_frac * windows; its NM tag encodes
-    the unmatched-window fraction so extract_unmapped's identity filter
-    ((cols - NM)/cols >= 0.95) keeps mates with >= ~95% window support.
+    A mate maps when votes >= min_vote_frac * windows; its NM tag
+    estimates BASE-level mismatches — what bwa's NM counts and what
+    extract_unmapped's blast-identity filter ((cols - NM)/cols >= 0.95,
+    extract_unmapped.cpp:107-113) expects. One substitution error kills
+    up to k consecutive k-mer windows, so base mismatches ~= missing
+    windows / k; encoding the raw window-miss FRACTION (the pre-r4
+    behavior) overstated NM by ~k and sent every errored read to the
+    low-abundance pool: in the 2.5M-read soak (0.5% errors) 83% of all
+    reads "failed" the 0.95 identity filter, where bwa would report
+    NM~=1 on a 150 bp read (identity 0.993). Truly foreign reads still
+    fail: miss_frac ~1 => NM ~= len/k => identity ~0.92 < 0.95.
     """
     depth_bases: Dict[int, float] = {}
     writer = BamWriter(bam_path, mapper.contig_names,
@@ -182,7 +190,7 @@ def map_pairs_to_bam(mapper: KmerMapper, pair_iter, bam_path: str,
                 if matched:
                     tid = int(best[i])
                     miss_frac = 1.0 - votes[i] / max(int(nvalid[i]), 1)
-                    nm = int(round(miss_frac * len(seq)))
+                    nm = int(round(miss_frac * len(seq) / mapper.k))
                     rec = BamRecord(name, flag, tid, 0, 60,
                                     [("M", len(seq))], seq, qual,
                                     {"NM": nm})

@@ -391,3 +391,40 @@ PROF
     assert merged.exists()
     # the auto-k glue
     assert int(8 * h) == 5
+
+
+def test_kmer_mapper_nm_estimates_base_mismatches(tmp_path):
+    """NM must track bwa's base-mismatch count, not the raw window-miss
+    fraction: a read with one substitution error keeps identity >= 0.95
+    through extract_unmapped's filter; a foreign read still fails."""
+    from pangaea_tpu.asm.mapper import KmerMapper, map_pairs_to_bam
+    from pangaea_tpu.io.bam import BamReader
+
+    rng = np.random.RandomState(9)
+    contig = "".join("ACGT"[b] for b in rng.randint(0, 4, 30_000))
+    mapper = KmerMapper(k=13, max_row_len=256)
+    mapper.index_contigs([("tig", contig)])
+
+    def with_errors(s, n_err):
+        s = list(s)
+        for pos in rng.choice(len(s), n_err, replace=False):
+            s[pos] = "ACGT"["ACGT".index(s[pos]) - 1]
+        return "".join(s)
+
+    clean = contig[1_000:1_150]
+    one_err = with_errors(contig[5_000:5_150], 1)
+    two_err = with_errors(contig[9_000:9_150], 2)
+    foreign = "".join("ACGT"[b] for b in rng.randint(0, 4, 150))
+    pairs = [("p0", clean, "I" * 150, one_err, "I" * 150),
+             ("p1", two_err, "I" * 150, foreign, "I" * 150)]
+    bam = str(tmp_path / "m.bam")
+    map_pairs_to_bam(mapper, iter(pairs), bam)
+    nm = {}
+    for rec in BamReader(bam):
+        key = (rec.qname, bool(rec.flag & 0x40))
+        nm[key] = (None if rec.flag & 0x4 else rec.tags.get("NM"))
+    assert nm[("p0", True)] == 0
+    # one error: NM ~= 1 => identity (150-1)/150 = 0.993 >= 0.95
+    assert 1 <= nm[("p0", False)] <= 2
+    assert 1 <= nm[("p1", True)] <= 3
+    assert nm[("p1", False)] is None  # foreign: unmapped entirely
