@@ -145,3 +145,68 @@ def metaphlan_shannon(reads: str, db_path: str, workdir: str,
     with open(os.path.join(div_dir, "profiles_table_shannon.txt"), "w") as f:
         f.write(f"{h}\n")
     return h
+
+
+# ---- the rest of calculate_diversity.R's metric surface -------------------
+#
+# The pipeline itself only ever invokes alpha/shannon
+# (calculate_diversity.sh:64), but the reference ships the full script
+# surface (calculate_diversity.R:38-263); these are formula-level ports
+# of every metric that does not require a user-supplied phylogeny.
+# weighted/unweighted unifrac need `-t` (an ape tree the pipeline never
+# provides) and are deliberately NOT ported. All functions take
+# per-taxon abundance vectors/columns AFTER the separator row filter
+# (see shannon_from_profile) — the /100 rescale cancels everywhere
+# except clr, where it shifts every component equally and cancels in
+# the aitchison distance.
+
+def alpha_diversity(abunds, metric: str = "shannon") -> float:
+    """microbiome::alpha on one sample column (calculate_diversity.R:
+    238-259): richness (observed taxa), shannon (H, natural log),
+    simpson (Gini-Simpson 1 - sum p^2), gini (dominance: the Gini
+    inequality coefficient of the abundance distribution)."""
+    xs = [a for a in abunds if a > 0]
+    if not xs:
+        return 0.0
+    total = sum(xs)
+    if metric == "richness":
+        return float(len(xs))
+    if metric == "shannon":
+        return -sum((a / total) * math.log(a / total) for a in xs)
+    if metric == "simpson":
+        return 1.0 - sum((a / total) ** 2 for a in xs)
+    if metric == "gini":
+        s = sorted(xs)
+        n = len(s)
+        return (2.0 * sum((i + 1) * v for i, v in enumerate(s))
+                / (n * total)) - (n + 1.0) / n
+    raise ValueError(f"unknown alpha metric '{metric}'")
+
+
+def beta_diversity(col_a, col_b, metric: str = "bray-curtis") -> float:
+    """rbiom::beta.div between two sample columns over the same taxon
+    rows (calculate_diversity.R:161-236): bray-curtis (weighted),
+    jaccard (unweighted presence/absence), aitchison (euclidean over
+    clr-transformed columns)."""
+    if metric == "bray-curtis":
+        num = sum(abs(a - b) for a, b in zip(col_a, col_b))
+        den = sum(a + b for a, b in zip(col_a, col_b))
+        return num / den if den else 0.0
+    if metric == "jaccard":
+        both = sum(1 for a, b in zip(col_a, col_b) if a > 0 and b > 0)
+        either = sum(1 for a, b in zip(col_a, col_b) if a > 0 or b > 0)
+        return 1.0 - both / either if either else 0.0
+    if metric == "aitchison":
+        ca, cb = clr_transform(col_a), clr_transform(col_b)
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(ca, cb)))
+    raise ValueError(f"unknown beta metric '{metric}'")
+
+
+def clr_transform(col) -> List[float]:
+    """compositions::clr (calculate_diversity.R:227-230): log(x) minus
+    the mean log over ALL components. A zero component makes the mean
+    -inf and the output inf/nan — exactly what the R package does on an
+    unzero-replaced table (the reference does not zero-replace)."""
+    logs = [math.log(a) if a > 0 else float("-inf") for a in col]
+    m = sum(logs) / len(logs)
+    return [v - m for v in logs]

@@ -154,3 +154,61 @@ def test_metaphlan3_fallback_uses_species_rows(tmp_path):
     ps = ps / ps.sum()
     assert math.isclose(shannon_from_profile(profile),
                         float(-(ps * np.log(ps)).sum()), abs_tol=1e-12)
+
+
+def test_alpha_metrics_match_formula_oracles():
+    """richness / shannon / simpson / gini against independent
+    transliterations of microbiome::alpha's formulas
+    (calculate_diversity.R:238-259)."""
+    from pangaea_tpu.asm.diversity import alpha_diversity
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        x = rng.rand(rng.randint(2, 15)) * 30
+        x[rng.rand(len(x)) < 0.2] = 0.0
+        xs = x[x > 0]
+        if len(xs) == 0:
+            continue
+        p = xs / xs.sum()
+        assert alpha_diversity(x, "richness") == len(xs)
+        assert math.isclose(alpha_diversity(x, "shannon"),
+                            float(-(p * np.log(p)).sum()), abs_tol=1e-12)
+        assert math.isclose(alpha_diversity(x, "simpson"),
+                            float(1 - (p ** 2).sum()), abs_tol=1e-12)
+        # standard Gini coefficient (microbiome::inequality)
+        s = np.sort(xs)
+        n = len(s)
+        gini = (2 * np.sum(np.arange(1, n + 1) * s) / (n * s.sum())
+                - (n + 1) / n)
+        assert math.isclose(alpha_diversity(x, "gini"), float(gini),
+                            abs_tol=1e-12)
+
+
+def test_beta_metrics_match_formula_oracles():
+    """bray-curtis / jaccard / aitchison against rbiom::beta.div's
+    definitions (calculate_diversity.R:161-236); the /100 table rescale
+    cancels in aitchison (clr shift-invariance)."""
+    from pangaea_tpu.asm.diversity import beta_diversity, clr_transform
+    rng = np.random.RandomState(6)
+    for _ in range(20):
+        n = rng.randint(3, 12)
+        a = rng.rand(n) * 20
+        b = rng.rand(n) * 20
+        bc = float(np.abs(a - b).sum() / (a + b).sum())
+        assert math.isclose(beta_diversity(a, b, "bray-curtis"), bc,
+                            abs_tol=1e-12)
+        both = int(((a > 0) & (b > 0)).sum())
+        either = int(((a > 0) | (b > 0)).sum())
+        assert math.isclose(beta_diversity(a, b, "jaccard"),
+                            1 - both / either, abs_tol=1e-12)
+        ca = np.log(a) - np.log(a).mean()
+        cb = np.log(b) - np.log(b).mean()
+        ait = float(np.sqrt(((ca - cb) ** 2).sum()))
+        assert math.isclose(beta_diversity(a, b, "aitchison"), ait,
+                            rel_tol=1e-12)
+        # scale invariance of aitchison under the /100 rescale
+        assert math.isclose(beta_diversity(a / 100, b / 100, "aitchison"),
+                            ait, rel_tol=1e-9)
+    # clr zero handling mirrors R (no zero replacement): -inf mean
+    out = clr_transform([1.0, 0.0, 2.0])
+    assert math.isinf(out[0]) and out[0] > 0
+    assert math.isnan(out[1])
