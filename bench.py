@@ -341,6 +341,7 @@ def run_driver_ours() -> dict:
         t_steps = time.time() - t0
         tsv = os.path.join(base, "run", "3.clustering", "clusters.tsv")
         assert os.path.getsize(tsv) > 0
+        _assert_driver_quality(tsv)
         return t_sort, t_steps, split
 
     work = tempfile.mkdtemp(prefix="bench_driver_")
@@ -350,6 +351,33 @@ def run_driver_ours() -> dict:
     total = t_sort + t_steps
     return {"reads_per_s": ds["n_reads"] / total, "t_sort": t_sort,
             "t_steps": t_steps, "split": split, "n_reads": ds["n_reads"]}
+
+
+def _assert_driver_quality(clusters_tsv: str) -> None:
+    """The timed run must also be CORRECT: binning ARI vs the sim's
+    ground truth >= 0.95 (the bench mixture is easy — both stacks score
+    1.0 — so anything less means the speedup came from broken output).
+    Truth is regenerated from the sim seed (deterministic; the
+    barcode->species assignment does not depend on pairs_per_barcode)."""
+    from sklearn.metrics import adjusted_rand_score
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".fq") as f:
+        res = simulate_linked_reads(
+            out_interleaved=f.name, n_species=8, genome_len=200_000,
+            n_barcodes=N_BARCODES, pairs_per_barcode=1, seed=7)
+    truth = res.barcode_species
+    m = {}
+    with open(clusters_tsv) as f:
+        for line in f:
+            cid, bcs = line.rstrip("\n").split("\t")
+            for bc in bcs.split(","):
+                m[bc.split("-")[0]] = cid
+    common = sorted(set(m) & set(truth))
+    assert len(common) > 0.95 * len(truth), "cluster barcodes missing"
+    ari = adjusted_rand_score([truth[b] for b in common],
+                              [m[b] for b in common])
+    assert ari >= 0.95, f"driver bench output quality broke: ARI {ari}"
 
 
 # POSIX-awk equivalent of the reference's gawk barcode-key extraction
