@@ -509,6 +509,21 @@ def main():
     if "--driver-ref" in sys.argv:
         print("DRIVERREF " + json.dumps(run_driver_reference()))
         return
+    if "--driver" in sys.argv:
+        # driver-level metric only (VERDICT r3 item 2's bench.py --driver)
+        prepare_dataset()
+        prepare_unsorted()
+        dev_timeout = int(os.environ.get("BENCH_DEVICE_TIMEOUT", 2400))
+        drv = _spawn("DRIVEROURS ", "--driver-ours", 2 * dev_timeout)
+        drv_ref = _spawn("DRIVERREF ", "--driver-ref", 3600)
+        print(json.dumps({
+            "metric": "driver_fastq_to_clusters_throughput",
+            "value": round(drv["reads_per_s"], 1),
+            "unit": "reads/s/chip",
+            "vs_baseline": round(drv["reads_per_s"]
+                                 / drv_ref["reads_per_s"], 2),
+            "detail": {"driver": drv, "driver_ref": drv_ref}}))
+        return
     # Dataset generation happens once here, outside the timed children.
     prepare_dataset()
     prepare_unsorted()
