@@ -333,11 +333,15 @@ def run_driver_ours() -> dict:
         pipe = Pipeline(cfg)
         split = {}
         t0 = time.time()
-        for nm, fn in (("s1", pipe.step1_features), ("s2", pipe.step2_train),
-                       ("s3", pipe.step3_cluster)):
-            t1 = time.time()
-            fn()
-            split[nm] = round(time.time() - t1, 2)
+        t1 = time.time()
+        feats = pipe.step1_features()
+        split["s1"] = round(time.time() - t1, 2)
+        t1 = time.time()
+        pipe.step2_train(*feats)  # in-memory handoff, as Pipeline.run does
+        split["s2"] = round(time.time() - t1, 2)
+        t1 = time.time()
+        pipe.step3_cluster()
+        split["s3"] = round(time.time() - t1, 2)
         t_steps = time.time() - t0
         tsv = os.path.join(base, "run", "3.clustering", "clusters.tsv")
         assert os.path.getsize(tsv) > 0

@@ -1121,13 +1121,14 @@ class FeatureExtractor:
 
     @staticmethod
     def _read_csv_gz(path: str) -> Tuple[np.ndarray, np.ndarray]:
-        names, rows = [], []
-        with gzip.open(path, "rt") as f:
-            for line in f:
-                parts = line.rstrip("\n").split(",")
-                names.append(parts[0])
-                rows.append([int(v) for v in parts[1:]])
-        return np.array(names), np.array(rows, dtype=np.int32)
+        # pandas' C parser: the per-line int() loop cost ~1 s of every
+        # resumed step-2 at the 240k-read bench geometry. dtype=str on
+        # column 0 so numeric-looking barcodes round-trip verbatim.
+        import pandas as pd
+        df = pd.read_csv(path, header=None, dtype={0: str})
+        names = df[0].to_numpy().astype(str)
+        mat = df.drop(columns=0).to_numpy().astype(np.int32)
+        return names, mat
 
     def _save(self, names, abd, tnf) -> None:
         # Only the gz CSVs — exactly what the reference's count_kmer /
