@@ -134,6 +134,8 @@ class VAETrainer:
         # mutable state so chunks chain without device-buffer copies.
         self._unit_chunk = jax.jit(self._unit_chunk_impl,
                                    donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        # one program, not one-dispatch-per-leaf (tunnel round trips)
+        self._tx_init = jax.jit(self.tx.init)
         # per-fit phase timers (seconds), for the training-wall breakdown.
         self.phase_times: Dict[str, float] = {}
         self.val_history = []  # (epoch, done_batches, val_loss) per eval
@@ -337,7 +339,7 @@ class VAETrainer:
             params, bn_state = load_params(ckpt)
             return params, bn_state
 
-        opt_state = self.tx.init(params)
+        opt_state = self._tx_init(params)
         key = jax.random.PRNGKey(jax_seed + 1)
         abd_all = jnp.asarray(dataset.abd)
         tnf_all = jnp.asarray(dataset.tnf)
@@ -491,7 +493,7 @@ class VAETrainer:
             params, bn_state = load_params(ckpt)
             return params, bn_state
 
-        opt_state = self.tx.init(params)
+        opt_state = self._tx_init(params)
         key = jax.random.PRNGKey(jax_seed + 1)
         abd_all = jnp.asarray(dataset.abd)
         tnf_all = jnp.asarray(dataset.tnf)

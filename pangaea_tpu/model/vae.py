@@ -35,6 +35,8 @@ from __future__ import annotations
 import math
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,7 +97,15 @@ def _bn_init(dim: int) -> Tuple[Pytree, Pytree]:
 
 
 def init_vae(key: jax.Array, model: VAE) -> Tuple[Pytree, Pytree]:
-    """Returns (params, bn_state)."""
+    """Returns (params, bn_state). Jitted as ONE program: the eager
+    version issued one device op per weight tensor (~40 dispatches),
+    which through a tunneled backend cost ~10 s of round trips before
+    training even started (r4 step-2 decomposition)."""
+    return _init_vae_impl(key, model)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _init_vae_impl(key: jax.Array, model: VAE) -> Tuple[Pytree, Pytree]:
     keys = iter(jax.random.split(key, 2 * len(model.hidden_sizes) + 3))
     enc, enc_bn = [], []
     sizes = (model.input_dim,) + tuple(model.hidden_sizes)
