@@ -73,7 +73,12 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
         os.path.expanduser("~"), ".cache", "pangaea_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERYTHING: the quality-masked upload path is built from
+    # dozens of sub-second programs, and through a tunneled backend each
+    # per-process recompile pays a full round trip — measured ~35 s of
+    # first-extract wall per process on error-injected input that the
+    # 1.0 s threshold silently excluded from the cache (r4).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def device_sync(*arrays) -> None:
