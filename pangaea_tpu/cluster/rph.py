@@ -29,21 +29,37 @@ from pangaea_tpu.cluster.reduce import RPPointReducer
 
 log = logging.getLogger(__name__)
 
-# Below this many matrix elements, the whole fit (reduce + Lloyd x
-# n_init) runs on the host CPU backend: each init costs several
-# dispatch+sync round trips of sub-millisecond math, and on a tunneled
-# TPU the round trips alone were ~10 s for a 3000x32 latent that CPU
-# clusters in <1 s (the reference's own rph_kmeans: 0.25 s on 5400x2,
-# BASELINE.md). The accelerator pays off when the Lloyd matmuls carry
-# real volume — ~250k+ barcodes at latent 32.
-_DEVICE_MIN_ELEMS = int(__import__("os").environ.get(
-    "PANGAEA_CLUSTER_DEVICE_MIN_ELEMS", 8_000_000))
+# Below ClusterConfig.device_min_elems matrix elements, the whole fit
+# (reduce + Lloyd x n_init) runs on the host CPU backend: each init
+# costs several dispatch+sync round trips of sub-millisecond math, and
+# on a tunneled TPU the round trips alone were ~10 s for a 3000x32
+# latent that CPU clusters in <1 s (the reference's own rph_kmeans:
+# 0.25 s on 5400x2, BASELINE.md). The accelerator pays off when the
+# Lloyd matmuls carry real volume — ~250k+ barcodes at latent 32.
+# The production knob lives in the typed config (config.py,
+# ClusterConfig.device_min_elems); the env var is a call-time debug
+# override only, read per call so it is reloadable in-process.
+from pangaea_tpu.config import ClusterConfig as _ClusterDefaults
+
+_DEVICE_MIN_ELEMS_DEFAULT = _ClusterDefaults.device_min_elems
 
 
-def _cluster_device(X: np.ndarray):
+def resolve_device_min_elems(configured: Optional[int] = None) -> int:
+    """Effective device-routing threshold: env override > config >
+    dataclass default."""
+    import os
+    env = os.environ.get("PANGAEA_CLUSTER_DEVICE_MIN_ELEMS")
+    if env is not None:
+        return int(env)
+    if configured is not None:
+        return configured
+    return _DEVICE_MIN_ELEMS_DEFAULT
+
+
+def _cluster_device(X: np.ndarray, device_min_elems: Optional[int] = None):
     import contextlib
     import jax
-    if X.size >= _DEVICE_MIN_ELEMS:
+    if X.size >= resolve_device_min_elems(device_min_elems):
         return contextlib.nullcontext()
     try:
         cpu = jax.devices("cpu")[0]
@@ -63,8 +79,10 @@ class RPHKMeans:
                  center_dist_keepr: float = 1.0,
                  skeleton_n_init: int = 10,
                  final_max_iter: int = 300, final_tol: float = 1e-4,
-                 random_state: Optional[int] = None, verbose: int = 0):
+                 random_state: Optional[int] = None, verbose: int = 0,
+                 device_min_elems: Optional[int] = None):
         self.n_clusters = n_clusters
+        self.device_min_elems = device_min_elems
         self.n_init = n_init
         self.w = w
         self.max_point = max_point
@@ -111,7 +129,7 @@ class RPHKMeans:
     def fit(self, X: np.ndarray) -> "RPHKMeans":
         X = np.ascontiguousarray(X, dtype=np.float32)
         self.inertia_ = np.inf
-        with _cluster_device(X):
+        with _cluster_device(X, self.device_min_elems):
             for i in range(self.n_init):
                 init_c, red_x, red_w, rp_iter = self.init_centers(X)
                 C, labels, inertia, n_iter = kmeans_lloyd(
@@ -145,8 +163,10 @@ class RPHKMeans:
 
 def clustering_rph_kmeans(embedding: np.ndarray, k: int,
                           n_init: int = 20,
-                          random_state: Optional[int] = None) -> np.ndarray:
+                          random_state: Optional[int] = None,
+                          device_min_elems: Optional[int] = None
+                          ) -> np.ndarray:
     """src/clustering.py:14-19: RPHKMeans(n_init=20).fit_predict."""
     clt = RPHKMeans(n_init=n_init, n_clusters=k, random_state=random_state,
-                    verbose=0)
+                    verbose=0, device_min_elems=device_min_elems)
     return clt.fit_predict(embedding)

@@ -118,6 +118,14 @@ class ClusterConfig:
     skeleton_n_init: int = 10         # sklearn KMeans default n_init
     # auto-k: k = int(8 * shannon_diversity) (clustering.py:100-101)
     diversity_multiplier: float = 8.0
+    # Below this many latent-matrix elements the whole fit (reduce +
+    # Lloyd x n_init) runs on the host CPU backend: each init costs
+    # several dispatch+sync round trips of sub-millisecond math, and on a
+    # tunneled TPU those round trips alone were ~10 s for a 3000x32
+    # latent that CPU clusters in <1 s. The accelerator pays off when
+    # the Lloyd matmuls carry real volume (~250k+ barcodes at latent 32).
+    # PANGAEA_CLUSTER_DEVICE_MIN_ELEMS overrides at call time (debug A/B).
+    device_min_elems: int = 8_000_000
 
 
 @dataclass

@@ -1123,9 +1123,13 @@ class FeatureExtractor:
     def _read_csv_gz(path: str) -> Tuple[np.ndarray, np.ndarray]:
         # pandas' C parser: the per-line int() loop cost ~1 s of every
         # resumed step-2 at the 240k-read bench geometry. dtype=str on
-        # column 0 so numeric-looking barcodes round-trip verbatim.
+        # column 0 so numeric-looking barcodes round-trip verbatim;
+        # na_filter=False so a name in pandas' NA set ('NA', 'nan', empty)
+        # round-trips byte-for-byte instead of becoming the string 'nan'
+        # (and the parse is faster with NA detection off).
         import pandas as pd
-        df = pd.read_csv(path, header=None, dtype={0: str})
+        df = pd.read_csv(path, header=None, dtype={0: str},
+                         keep_default_na=False, na_filter=False)
         names = df[0].to_numpy().astype(str)
         mat = df.drop(columns=0).to_numpy().astype(np.int32)
         return names, mat

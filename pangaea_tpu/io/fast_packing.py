@@ -489,7 +489,10 @@ def native_group_events_paired(reads1: str, reads2: str, min_len: int,
                               if with_lowq else None))
                 yield codes, lengths, b1, lowq, extra
         finally:
-            pool.shutdown(wait=False)
+            # wait=True: on an error path f2 may still be mid-read inside
+            # rd2.read; closing the C Reader under it would be a
+            # use-after-free. In-flight work is one bounded buffer read.
+            pool.shutdown(wait=True)
             rd1.close()
             rd2.close()
 

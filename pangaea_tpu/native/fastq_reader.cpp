@@ -676,9 +676,14 @@ long long pgn_extract_reads(const char* tsv_path, const char* out_prefix,
                             int interleaved) {
     std::FILE* tsv = fopen(tsv_path, "rb");
     if (!tsv) return -1;
-    // id list in tsv order + barcode -> file slot
+    // id list in tsv order + barcode -> file slot. Duplicate cluster ids
+    // collapse into ONE slot (one FILE* per distinct id): two handles on
+    // the same .fq path would interleave garbage through independent
+    // buffers, and the Python fallback's dict-of-handles already merges
+    // duplicates — the byte-compatible-fallback contract requires parity.
     std::vector<std::string> ids;
     std::unordered_map<std::string, int> bc2slot;
+    std::unordered_map<std::string, int> id2slot;
     {
         std::string all;
         char tmp[1 << 16];
@@ -696,8 +701,15 @@ long long pgn_extract_reads(const char* tsv_path, const char* out_prefix,
             size_t tab = line.find('\t');
             std::string cid = line.substr(0, tab);
             if (cid == "-1") continue;
-            int slot = static_cast<int>(ids.size());
-            ids.push_back(cid);
+            int slot;
+            auto known = id2slot.find(cid);
+            if (known == id2slot.end()) {
+                slot = static_cast<int>(ids.size());
+                ids.push_back(cid);
+                id2slot.emplace(cid, slot);
+            } else {
+                slot = known->second;
+            }
             if (tab == std::string::npos) continue;
             size_t p = tab + 1;
             while (p <= line.size()) {

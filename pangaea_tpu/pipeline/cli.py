@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "numerics are float32)")
     # others
     p.add_argument("-c", "--clusters", type=int, default=None)
+    p.add_argument("--cluster_device_min_elems", type=int,
+                   default=ClusterConfig.device_min_elems,
+                   help="latent-matrix elements below which step-3 "
+                        "clustering runs on the host CPU backend "
+                        "(tunneled-TPU round trips dominate tiny fits)")
     p.add_argument("-m", "--metaphlan_db", type=str, default="")
     p.add_argument("-t", "--threads", type=int, default=0)
     p.add_argument("-sp", "--spades", type=str, default="")
@@ -76,7 +81,10 @@ def config_from_args(args: argparse.Namespace) -> PangaeaConfig:
             patience=args.patience, weight_alpha=args.weight_alpha,
             weight_kl=args.weight_kl,
             matmul_dtype=getattr(args, "matmul_dtype", "float32")),
-        cluster=ClusterConfig(n_clusters=args.clusters),
+        cluster=ClusterConfig(
+            n_clusters=args.clusters,
+            device_min_elems=getattr(args, "cluster_device_min_elems",
+                                     ClusterConfig.device_min_elems)),
         assembly=AssemblyConfig(low_abd_cut=args.low_abd_cut,
                                 low_assembler=args.low_assembler),
     )

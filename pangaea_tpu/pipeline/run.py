@@ -147,7 +147,8 @@ class Pipeline:
             # its step 3 is reproducible; ours must be too
             clusters = clustering_rph_kmeans(
                 emb, k, n_init=cfg.cluster.n_init,
-                random_state=cfg.model.seed)
+                random_state=cfg.model.seed,
+                device_min_elems=cfg.cluster.device_min_elems)
             np.savez(out_npz, clusters)
             c2b = defaultdict(list)
             for i in range(len(bcs)):

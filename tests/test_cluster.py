@@ -161,3 +161,31 @@ def test_cal_bic_prefers_true_k():
         scores[k] = cal_bic(X, sk.labels_, sk.cluster_centers_)
     assert scores[3] > scores[2]
     assert scores[3] > scores[8]
+
+
+def test_device_min_elems_config_routing(monkeypatch):
+    """ClusterConfig.device_min_elems drives the host-vs-device routing;
+    PANGAEA_CLUSTER_DEVICE_MIN_ELEMS is a call-time override only
+    (VERDICT r4 item 8: the knob must live in the typed config)."""
+    import contextlib
+    from pangaea_tpu.config import ClusterConfig
+    from pangaea_tpu.cluster.rph import (_cluster_device,
+                                         resolve_device_min_elems)
+    monkeypatch.delenv("PANGAEA_CLUSTER_DEVICE_MIN_ELEMS", raising=False)
+    assert resolve_device_min_elems(None) == ClusterConfig.device_min_elems
+    assert resolve_device_min_elems(123) == 123
+    # env var overrides the configured value, read per call (reloadable)
+    monkeypatch.setenv("PANGAEA_CLUSTER_DEVICE_MIN_ELEMS", "77")
+    assert resolve_device_min_elems(123) == 77
+    monkeypatch.delenv("PANGAEA_CLUSTER_DEVICE_MIN_ELEMS")
+    X = np.zeros((10, 10), np.float32)
+    # big threshold -> host CPU context; tiny threshold -> device
+    assert not isinstance(_cluster_device(X, 1_000_000),
+                          contextlib.nullcontext().__class__)
+    assert isinstance(_cluster_device(X, 10),
+                      contextlib.nullcontext().__class__)
+    # the CLI threads the knob into the typed config
+    from pangaea_tpu.pipeline.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["-i", "x.fq", "-o", "out", "--cluster_device_min_elems", "42"])
+    assert config_from_args(args).cluster.device_min_elems == 42

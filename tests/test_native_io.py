@@ -253,6 +253,10 @@ def test_native_extract_reads_equals_python(tmp_path):
             f.write("0\t" + ",".join(bcs[0:4]) + "\n")
             f.write("-1\t" + ",".join(bcs[4:6]) + "\n")
             f.write("7\t" + ",".join(bcs[6:9]) + "\n")
+            # duplicate cluster id: both lines' barcodes must land in ONE
+            # stream (ADVICE r4: two handles on the same path interleave
+            # garbage; both implementations collapse duplicates)
+            f.write("7\t" + ",".join(bcs[9:11]) + "\n")
         # native
         ok = er._extract_reads_native(tsv, str(d / "nat"), 
                                       inputs.get("reads1", ""),

@@ -36,18 +36,32 @@ def log(msg, path):
 
 
 def run_unit(argv, what, logp, timeout_s, retries=3):
-    """Run a child; retry on transient device errors. Returns (wall,
-    maxrss_gib, attempts)."""
+    """Run a child; retry on transient device errors (including a child
+    that outlasts timeout_s — wedges recover in ~10-20 min, so a timeout
+    IS the transient this tool exists for). Returns (wall,
+    cumulative_child_maxrss_gib, attempts). RSS is ru_maxrss over ALL
+    children so far — a cumulative peak, not per-unit (the kernel
+    counter cannot be reset per child)."""
     attempts = 0
     while True:
         attempts += 1
         t0 = time.time()
-        before = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-        r = subprocess.run(argv, capture_output=True, text=True,
-                           timeout=timeout_s)
+        try:
+            r = subprocess.run(argv, capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            wall = time.time() - t0
+            log(f"{what} attempt {attempts} TIMED OUT after {wall:.0f}s "
+                "(treated as a transient wedge)", logp)
+            if attempts > retries:
+                raise RuntimeError(f"{what} timed out {attempts} times")
+            delay = min(720, 120 * attempts)
+            log(f"{what}: retrying in {delay}s", logp)
+            time.sleep(delay)
+            continue
         wall = time.time() - t0
         rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-        rss_gib = max(rss, before) / (1 << 20)
+        rss_gib = rss / (1 << 20)
         if r.returncode == 0:
             return wall, rss_gib, attempts
         transient = any(m in (r.stderr + r.stdout) for m in
@@ -126,7 +140,7 @@ def main():
         wall, rss, att = run_unit(argv, f"step{st}", logp,
                                   timeout_s=4 * 3600)
         results[f"step{st}"] = {"wall": round(wall, 1),
-                                "rss_gib": round(rss, 2),
+                                "rss_cum_peak_gib": round(rss, 2),
                                 "attempts": att}
         log(f"step{st}: {results[f'step{st}']}", logp)
 
