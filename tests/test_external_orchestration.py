@@ -183,3 +183,101 @@ def test_merge_olc_flye_command(tmp_path):
     assert seqs.count("A" * 1500) == 6  # merge_olc.py:79-83
     assert seqs.count("C" * 500) == 0   # below 1 kb
     assert seqs.count("G" * 1200) == 1  # local, not contained
+
+from pangaea_tpu.asm.fasta import write_fasta
+
+
+def _merge_root(tmp_path, layout="reference"):
+    """Fake run root with the artifacts final_merge.sh:19-41 expects."""
+    r = tmp_path / "run"
+    if layout == "reference":
+        pang = r / "pangaea_out"
+        athena = r / "athena_out"
+        sp, hy = r / "metaspades_out", r / "hybridspades_out"
+        mp_fa = r / "metaplatanus_out" / "_result" / "out_final.fa"
+    else:  # this repo's driver layout
+        pang = r
+        athena = r / "2_athena_out"
+        sp, hy = r / "1_metaspades_out", r / "3_hybridspades_out"
+        mp_fa = r / "3_metaplatanus_out" / "out_final.fa"
+    cl, asmd = pang / "3.clustering", pang / "4.assembly"
+    olc = athena / "results" / "olc"
+    for d in (cl, asmd, olc, sp, hy, mp_fa.parent,
+              asmd / "cut10.spades"):
+        d.mkdir(parents=True, exist_ok=True)
+    write_fasta(str(cl / "contigs.megahit.fa"), [("bin1", "A" * 300)])
+    write_fasta(str(asmd / "cut10.spades" / "contigs.fasta"),
+                [("sub1", "C" * 300)])
+    write_fasta(str(olc / "flye-input-contigs.fa"), [("loc1", "G" * 300)])
+    write_fasta(str(olc / "athena.asm.fa"), [("ath1", "T" * 300)])
+    write_fasta(str(sp / "contigs.fasta"), [("seedS", "AC" * 700)])
+    write_fasta(str(hy / "contigs.fasta"), [("seedH", "AG" * 700)])
+    write_fasta(str(mp_fa), [("seedM", "AT" * 700)])
+    return r
+
+
+@pytest.mark.parametrize("layout", ["reference", "driver"])
+def test_final_merge_standalone(tmp_path, layout):
+    """Standalone merge re-entry == final_merge.sh:38-106: pool rebuild,
+    per-type seed selection, olc_<type>/quickmerge_<type> layout, exact
+    quickmerge argv, resume-on-existence."""
+    from pangaea_tpu.asm.fasta import iter_fasta
+    from pangaea_tpu.pipeline.merge import MergeLayout, final_merge
+    root = _merge_root(tmp_path, layout)
+    lay = MergeLayout(str(root))
+    lay.validate()
+    # seed table matches final_merge.sh:37-39
+    assert lay.seeds["metaspades"].endswith("contigs.fasta")
+    assert lay.seeds["hybridspades"].endswith("contigs.fasta")
+    assert lay.seeds["metaplatanus"].endswith("out_final.fa")
+    asmd = lay.assembly_dir
+
+    class QMRunner(FakeRunner):
+        def available(self, tool):
+            return tool == "merge_wrapper.py"
+
+    def qm_effect(cmd, cwd):
+        write_fasta(os.path.join(cwd, "merged_out.fasta"),
+                    [("m1", "ACGT" * 100)])
+
+    runner = QMRunner({"merge_wrapper.py": qm_effect})
+    out = final_merge(str(root), "hybridspades", runner=runner)
+    # quickmerge argv: relpath of the olc result + realpath athena, run
+    # from quickmerge_<type> (final_merge.sh:93-96)
+    qm_dir = os.path.join(asmd, "quickmerge_hybridspades")
+    olc_final = os.path.join(asmd, "olc_hybridspades", "final.asm.fa")
+    assert runner.commands == [
+        "merge_wrapper.py "
+        + os.path.relpath(olc_final, qm_dir) + " "
+        + os.path.realpath(lay.athena)]
+    assert os.path.isfile(olc_final)
+    assert out == os.path.join(qm_dir, "merged_out.fasta")
+    # pool rebuilt from reassemblies + binned + athena local (:51)
+    pool_seqs = [s for _, s in iter_fasta(os.path.join(
+        asmd, "contigs.low_abd.binning.local.fa"))]
+    assert pool_seqs == ["C" * 300, "A" * 300, "G" * 300]
+    # renamed contig_<n> (parse_header, :52)
+    names = [n for n, _ in iter_fasta(os.path.join(
+        asmd, "contigs.low_abd.binning.local.fa"))]
+    assert names == ["contig_1", "contig_2", "contig_3"]
+    # the HYBRIDSPADES seed (not metaspades) fed the olc merge
+    olc_seqs = [s for _, s in iter_fasta(olc_final)]
+    assert "AG" * 700 in olc_seqs and "AC" * 700 not in olc_seqs
+    # merged_out was renamed contig_<n> (:97-98)
+    assert [n for n, _ in iter_fasta(out)] == ["contig_1"]
+    # resume: both stages skip on existing outputs (:76,:88)
+    runner2 = QMRunner({"merge_wrapper.py": qm_effect})
+    final_merge(str(root), "hybridspades", runner=runner2)
+    assert runner2.commands == []
+
+
+def test_final_merge_rejects_unknown_type(tmp_path):
+    from pangaea_tpu.pipeline.merge import final_merge
+    root = _merge_root(tmp_path)
+    with pytest.raises(ValueError, match="operams"):
+        final_merge(str(root), "operams")
+    # missing artifact aborts like final_merge.sh:26-33
+    os.remove(os.path.join(str(root), "athena_out", "results", "olc",
+                           "athena.asm.fa"))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        final_merge(str(root), "metaspades")
