@@ -70,6 +70,25 @@ class FeatureConfig:
     # On the sharded extractor the cap scales with the mesh instead and
     # overflow restarts on the key-range-sharded table path.
     sortjoin_max_windows: int = 256 * 1024 * 1024
+    # Past-the-cap spill implementation: 'auto'/'on' pre-aggregates each
+    # in-cap chunk ON DEVICE (sort + RLE, kernels/features.py §spill
+    # pre-aggregation) so only unique (key, weight) runs cross the link —
+    # the r4 raw-key spill shipped ~8 B/window D2H and collapsed to
+    # ~1.05 us/window at soak scale. 'off' forces the raw-key spill
+    # (kept for A/B; PANGAEA_SPILL_IMPL=raw|agg overrides at call time).
+    spill_agg: str = "auto"
+    # Windows aggregated per device chunk (sort operand size; ~6 ops x
+    # 4 B through the three aggregation sorts).
+    spill_agg_windows: int = 32 * 1024 * 1024
+    # Where per-window run ids live between phase A and the replay:
+    # 'device' (HBM-resident, zero per-window link traffic), 'host'
+    # (host RAM, 4 B/window), 'disk' (bounded RSS: one chunk in memory
+    # at a time, the rest in spill_dir files). 'auto' = disk when
+    # spill_dir is set, else device until spill_device_budget bytes of
+    # HBM are held, then host for the remainder.
+    spill_store: str = "auto"
+    spill_dir: Optional[str] = None
+    spill_device_budget: int = 4 * 1024 * 1024 * 1024
 
 
 @dataclass

@@ -127,6 +127,249 @@ def _unpack_codes_clean(packed: jnp.ndarray) -> jnp.ndarray:
 _TRIM_QUANTUM = 2048
 
 
+def _pow2_ceil(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+class _SpillAgg:
+    """Device-side pre-aggregation store for the past-the-cap spill.
+
+    Phase A feeds whole untrimmed batch parts; every ``S`` parts are
+    concatenated and aggregated ON DEVICE (kernels/features.py
+    ``spill_aggregate*``: 3 sorts -> per-window run ids + compacted
+    unique (key, weight-sum) runs). Only the unique runs are transferred
+    D2H (one entry per distinct key per chunk — the spilled stream is
+    Zipfian-duplicated, so this is the duplication-factor win over the
+    r4 raw-key spill); run ids stay on the device, in host RAM, or on
+    disk per FeatureConfig.spill_store. ``finalize_bins`` then joins the
+    unique entries through the existing weighted sort-join and builds
+    one run->bin table per chunk; ``batch_bins`` maps a batch's windows
+    to bins with a single bandwidth-shaped table lookup, entirely on
+    device. Matches the reference's constant-rate streaming contract
+    (count_kmer.cpp:186-292 + jellyfish's RAM-bounded hash,
+    src/feature.py:76-86).
+    """
+
+    def __init__(self, fe: "FeatureExtractor", weighted: bool,
+                 per_batch: int):
+        cfg = fe.cfg
+        self.fe = fe
+        self.weighted = weighted
+        self.per_batch = per_batch
+        self.S = max(1, min(cfg.spill_agg_windows,
+                            fe._sortjoin_window_cap()) // per_batch)
+        self.nw = 1 if cfg.kmer <= 15 else 2
+        store = cfg.spill_store
+        if store == "auto":
+            store = "disk" if cfg.spill_dir else "device"
+        if store == "disk" and not cfg.spill_dir:
+            raise ValueError("spill_store='disk' requires spill_dir")
+        self.store = store
+        self.budget = cfg.spill_device_budget
+        self.dev_bytes = 0
+        self.buf: List[Tuple] = []
+        self.groups: List[dict] = []
+        if cfg.spill_dir:
+            os.makedirs(cfg.spill_dir, exist_ok=True)
+        self._cur_g = -1
+        self._cur_bins = None
+
+    # ---- phase A ---------------------------------------------------------
+
+    def add_part(self, part: Tuple) -> None:
+        """part: untrimmed (word0[, word1][, weights]) device arrays of
+        exactly per_batch windows (the final part of the stream may be
+        shorter only if the packer emitted a short batch — it never
+        does; uniform shapes keep the compiled-shape set bounded)."""
+        self.buf.append(part)
+        if len(self.buf) == self.S:
+            self._flush()
+
+    def finish(self) -> None:
+        if self.buf:
+            self._flush()
+
+    def _flush(self) -> None:
+        from pangaea_tpu.kernels.features import (
+            spill_aggregate, spill_aggregate_pair,
+            spill_aggregate_pair_weighted, spill_aggregate_weighted)
+        parts, self.buf = self.buf, []
+        nw = self.nw
+        cat = (lambda i: parts[0][i] if len(parts) == 1 else
+               jnp.concatenate([p[i] for p in parts]))
+        words = tuple(cat(i) for i in range(nw))
+        k = self.fe.cfg.kmer
+        if self.weighted:
+            w = cat(nw)
+            if nw == 1:
+                out = spill_aggregate_weighted(words[0], w, k=k)
+            else:
+                out = spill_aggregate_pair_weighted(*words, w, k=k)
+        else:
+            if nw == 1:
+                out = spill_aggregate(words[0], k=k)
+            else:
+                out = spill_aggregate_pair(*words, k=k)
+        run_ids, uwords, uwt, n_runs_d, n_valid_d = out
+        n_runs, n_valid = (int(x) for x in
+                           np.asarray(jnp.stack([n_runs_d, n_valid_d])))
+        n_win = int(words[0].shape[0])
+        # compacted unique prefix at a pow2-quantized length so the
+        # slice programs stay a bounded, dataset-deterministic set
+        uq = min(_pow2_ceil(max(1, n_valid)), n_win)
+        grp = {"n_windows": n_win, "n_runs": n_runs, "n_valid": n_valid,
+               "uq": uq, "bins_table": None}
+        store = self.store
+        if store == "device" and \
+                self.dev_bytes + 4 * n_win + 12 * uq > self.budget:
+            log.info("spill run-id store: device budget reached "
+                     "(%d B); later chunks go to host RAM",
+                     self.dev_bytes)
+            store = self.store = "host"
+        if store == "device":
+            # fully device-resident chunk: the uniques stay on the chip
+            # too (entries in (n_valid, uq] masked to sentinel/0 so the
+            # pow2 slice can join verbatim), and NOTHING crosses the
+            # link for this chunk but two scalars
+            ar = jnp.arange(uq, dtype=jnp.int32)
+            live = ar < n_valid_d
+            sent = self.fe._sortjoin_pad_tuple(1, weighted=True)
+            grp["uniq_dev"] = tuple(
+                jnp.where(live, wd[:uq], sv[0])
+                for wd, sv in zip(uwords, sent[:-1]))
+            grp["uw_dev"] = jnp.where(live, uwt[:uq], 0)
+            grp["run_ids"] = run_ids
+            self.dev_bytes += 4 * n_win + 12 * uq
+        else:
+            grp["uniq"] = tuple(np.asarray(wd[:uq])[:n_valid]
+                                for wd in uwords)
+            grp["uw"] = np.asarray(uwt[:uq])[:n_valid]
+            if store == "host":
+                grp["run_ids"] = np.asarray(run_ids)
+            else:  # disk
+                path = os.path.join(self.fe.cfg.spill_dir,
+                                    f"spill_runids_{len(self.groups)}.bin")
+                np.asarray(run_ids).tofile(path)
+                grp["run_ids"] = path
+        self.groups.append(grp)
+        log.info("spill chunk %d aggregated: %d windows -> %d unique "
+                 "runs (%.1fx), store=%s", len(self.groups), n_win,
+                 max(1, n_valid), n_win / max(1, n_valid), store)
+
+    # ---- phase B ---------------------------------------------------------
+
+    def finalize_bins(self) -> None:
+        """Join all chunks' unique (key, weight) entries; build one
+        run->bin table per chunk (padded to pow2 multiples of 128 with
+        -1 so the phase-C lookup compiles a bounded shape set).
+        Device-resident chunks contribute their on-chip uniques directly
+        (their masked uq-prefix entries), so a fully device-resident
+        spill joins and builds tables with zero per-entry link traffic;
+        host/disk chunks upload their exact n_valid prefix."""
+        fe = self.fe
+        groups = self.groups
+
+        def n_entries(g):
+            return g["uq"] if "uniq_dev" in g else len(g["uw"])
+
+        E = sum(n_entries(g) for g in groups)
+        tsize = (lambda g: max(128, _pow2_ceil(max(1, g["n_runs"]))))
+        if E == 0:
+            for g in groups:
+                g["bins_table"] = jnp.full(tsize(g), -1, jnp.int32)
+            return
+        cap = fe._sortjoin_window_cap()
+        if E <= cap:
+            npad = fe._sortjoin_pad_size(E)
+            cols = []
+            for i in range(self.nw):
+                cols.append([g["uniq_dev"][i] if "uniq_dev" in g
+                             else jnp.asarray(g["uniq"][i])
+                             for g in groups])
+            wcol = [g["uw_dev"] if "uniq_dev" in g
+                    else jnp.asarray(g["uw"]) for g in groups]
+            if npad > E:
+                pad = fe._sortjoin_pad_tuple(npad - E, weighted=True)
+                for i in range(self.nw):
+                    cols[i].append(pad[i])
+                wcol.append(pad[-1])
+            dev = tuple(jnp.concatenate(c) if len(c) > 1 else c[0]
+                        for c in cols)
+            dev = dev + (jnp.concatenate(wcol) if len(wcol) > 1
+                         else wcol[0],)
+            bins_dev = fe._sortjoin_bins_dispatch(
+                dev, row_windows=None, weighted=True)
+            off = 0
+            for g in groups:
+                ne = n_entries(g)
+                T = tsize(g)
+                sl = bins_dev[off:off + ne]
+                # masked entries (device chunks, ids in [n_valid, uq))
+                # carry the sentinel key and already joined to -1; ids in
+                # [uq/n_valid, n_runs) are sentinel runs -> -1 fill
+                g["bins_table"] = (jnp.concatenate(
+                    [sl, jnp.full(T - ne, -1, jnp.int32)])
+                    if T > ne else sl[:T])
+                off += ne
+        else:
+            # beyond-cap unique set: fall back to the host ranged join
+            # (device chunks transfer their uniques once)
+            host_parts = []
+            for g in groups:
+                if "uniq_dev" in g:
+                    nv = g["n_valid"]
+                    g["uniq"] = tuple(np.asarray(w)[:nv]
+                                      for w in g["uniq_dev"])
+                    g["uw"] = np.asarray(g["uw_dev"])[:nv]
+                    g.pop("uniq_dev"), g.pop("uw_dev")
+                if len(g["uw"]):
+                    host_parts.append(g["uniq"] + (g["uw"],))
+            bins_np = fe._chunked_sortjoin_bins(host_parts, weighted=True)
+            off = 0
+            for g in groups:
+                nv = len(g["uw"])
+                table = np.full(tsize(g), -1, np.int32)
+                table[:nv] = bins_np[off:off + nv]
+                off += nv
+                g["bins_table"] = table
+            assert off == len(bins_np)
+        for g in groups:
+            for key in ("uniq", "uw", "uniq_dev", "uw_dev"):
+                g.pop(key, None)  # free
+
+    # ---- phase C ---------------------------------------------------------
+
+    def batch_bins(self, j: int) -> jnp.ndarray:
+        """Device (per_batch,) bins for global batch index j (stream
+        order). Loads/maps one chunk at a time."""
+        g, r = divmod(j, self.S)
+        if g != self._cur_g:
+            self._load_group(g)
+        lo = r * self.per_batch
+        return self._cur_bins[lo:lo + self.per_batch]
+
+    def _load_group(self, g: int) -> None:
+        from pangaea_tpu.kernels.features import map_run_bins
+        grp = self.groups[g]
+        rid = grp["run_ids"]
+        if isinstance(rid, str):
+            rid = jnp.asarray(np.fromfile(rid, dtype=np.int32))
+        elif isinstance(rid, np.ndarray):
+            rid = jnp.asarray(rid)
+        table = jnp.asarray(grp["bins_table"])
+        self._cur_bins = map_run_bins(table, rid)
+        self._cur_g = g
+
+    def cleanup(self) -> None:
+        if self.fe.cfg.spill_dir:
+            for g in self.groups:
+                if isinstance(g.get("run_ids"), str):
+                    try:
+                        os.remove(g["run_ids"])
+                    except OSError:
+                        pass
+
+
 class SortJoinOverflow(RuntimeError):
     """Dataset exceeded the window cap mid-stream on an extractor with
     host spill disabled; the caller restarts on the streaming
@@ -512,6 +755,22 @@ class FeatureExtractor:
     # hooks scale range size and padding with the mesh).
     _host_spill = True
 
+    # Aggregated spill (device-side sort+RLE per chunk, _SpillAgg) is the
+    # default; the sharded extractor flips this off — its batches live
+    # sharded on the mesh and run the raw-key spill through its routed
+    # kernels instead.
+    _spill_aggregate = True
+
+    def _spill_impl(self) -> str:
+        """'agg' (device pre-aggregation) or 'raw' (r4 raw-key spill,
+        kept for A/B). PANGAEA_SPILL_IMPL overrides the config."""
+        env = os.environ.get("PANGAEA_SPILL_IMPL")
+        if env in ("raw", "agg"):
+            return env
+        if self.cfg.spill_agg == "off" or not self._spill_aggregate:
+            return "raw"
+        return "agg"
+
     def group_features_sortjoin(self, reads1: str = "", reads2: str = "",
                                 interleaved: str = ""
                                 ) -> Tuple[np.ndarray, np.ndarray,
@@ -553,7 +812,11 @@ class FeatureExtractor:
                         and c.min_qual_char)
         G, events = self._sortjoin_events(reads1, reads2, interleaved)
         cap = self._sortjoin_window_cap()
+        rows = c.reads_per_batch
+        wrow = self.row_len - c.kmer + 1
+        per_batch = rows * wrow
         spill = False
+        agg: Optional[_SpillAgg] = None
         if self._host_spill:
             est = self._estimate_stream_windows(
                 interleaved if interleaved else (reads1, reads2))
@@ -561,8 +824,8 @@ class FeatureExtractor:
                 log.info("sort-join host-spill mode: ~%d windows > device "
                          "cap %d", est, cap)
                 spill = True
-        rows = c.reads_per_batch
-        wrow = self.row_len - c.kmer + 1
+                if self._spill_impl() == "agg":
+                    agg = _SpillAgg(self, weighted, per_batch)
         keys_parts: List[Tuple] = []  # device tuples; np tuples when spill
         chunk_meta = []  # (names, [(seg_ids, kept_rows)], thist)
         total = 0
@@ -605,13 +868,21 @@ class FeatureExtractor:
                 part = words + (wts,)
             else:
                 part = self._batch_keys(codes, lengths, cont)
-            if kept_rows < rows:
-                kw = kept_rows * wrow
-                part = tuple(w[:kw] for w in part)
-            if spill:
-                part = tuple(np.asarray(w) for w in part)
-            keys_parts.append(part)
-            total += part[0].shape[0]
+            if agg is not None:
+                # aggregated spill: parts stay UNTRIMMED (uniform
+                # per_batch shapes for the aggregation programs; trailing
+                # pad windows are sentinel-keyed and collapse into the
+                # sentinel run, so they cost sort passes, never output)
+                agg.add_part(part)
+                total += part[0].shape[0]
+            else:
+                if kept_rows < rows:
+                    kw = kept_rows * wrow
+                    part = tuple(w[:kw] for w in part)
+                if spill:
+                    part = tuple(np.asarray(w) for w in part)
+                keys_parts.append(part)
+                total += part[0].shape[0]
             segs.append((seg, kept_rows))
             thist = tnf_histogram_segsum(
                 thist, codes, lengths, seg, cont, k=c.tnf_kmer,
@@ -622,11 +893,25 @@ class FeatureExtractor:
                         f"{total} windows > the mesh window cap {cap}")
                 log.warning(
                     "sort-join overflow (%d windows > cap %d); spilling "
-                    "collected keys to host RAM and continuing chunked "
+                    "collected keys and continuing chunked "
                     "(the stream is still read only once)",
                     total, c.sortjoin_max_windows)
-                keys_parts = [tuple(np.asarray(w) for w in t)
-                              for t in keys_parts]
+                if self._spill_impl() == "agg":
+                    agg = _SpillAgg(self, weighted, per_batch)
+                    for p in keys_parts:
+                        short = per_batch - p[0].shape[0]
+                        if short:
+                            # re-pad parts the trim already cut: the cut
+                            # windows were sentinel-keyed pad anyway
+                            padt = self._sortjoin_pad_tuple(
+                                short, weighted=weighted)
+                            p = tuple(jnp.concatenate([w, pw])
+                                      for w, pw in zip(p, padt))
+                        agg.add_part(p)
+                else:
+                    keys_parts = [tuple(np.asarray(w) for w in t)
+                                  for t in keys_parts]
+                keys_parts = [] if agg is not None else keys_parts
                 spill = True
         if thist is not None or segs:
             # trailing batches with no closing chunk event (defensive;
@@ -638,8 +923,11 @@ class FeatureExtractor:
             return (np.array([], dtype=object),
                     np.zeros((0, c.vector_size), np.int32),
                     np.zeros((0, ncols), np.int32))
-        per_batch = rows * wrow
-        if spill:
+        bins_at = None
+        if agg is not None:
+            agg.finish()
+            agg.finalize_bins()
+        elif spill:
             bins_host = self._chunked_sortjoin_bins(keys_parts,
                                                     weighted=weighted)
             del keys_parts
@@ -675,14 +963,20 @@ class FeatureExtractor:
         names: List[str] = []
         abd_dev, tnf_dev = [], []
         off = 0
+        bi = 0
         for cnames, segs, thist in chunk_meta:
             hist = jnp.zeros((G, c.vector_size), jnp.int32)
             for seg, kept_rows in segs:
-                kw = kept_rows * wrow
+                if agg is not None:
+                    bmat = agg.batch_bins(bi).reshape(rows, wrow)
+                else:
+                    kw = kept_rows * wrow
+                    bmat = bins_at(off, kw).reshape(rows, wrow)
+                    off += kw
+                bi += 1
                 hist = abundance_histogram_from_bins(
-                    hist, bins_at(off, kw).reshape(rows, wrow), seg,
+                    hist, bmat, seg,
                     vector_size=c.vector_size, n_groups=G)
-                off += kw
             names += list(cnames)
             # trim to the chunk's real group count ON DEVICE: the final
             # transfer then moves len(names) rows, not chunks * G
@@ -706,6 +1000,8 @@ class FeatureExtractor:
         tnf_all = np.asarray(jnp.concatenate(tnf_dev)
                              if len(tnf_dev) > 1 else tnf_dev[0])
         self._phase_times["final_d2h_sync"] = _time.time() - t_d2h0
+        if agg is not None:
+            agg.cleanup()
         return np.array(names), abd_all, tnf_all
 
     def _chunked_sortjoin_bins(self, host_parts: List[Tuple[np.ndarray, ...]],

@@ -681,6 +681,128 @@ def sortjoin_bins(keys: jax.Array, *, k: int, window: int,
     return _sortjoin_bins_impl(keys, k, window, vector_size)
 
 
+# ---- spill pre-aggregation (past-the-cap streaming) ---------------------
+#
+# Past the device window cap, phase-A windows must leave the device. The
+# r4 spill shipped RAW keys (~8 B/window D2H + 4 B/window of bins back up
+# + an O(N) host partition), which collapsed throughput to ~1.05 us/window
+# at soak scale — the one measured regression vs the reference's
+# constant-rate streaming (count_kmer.cpp:186-292 + jellyfish's
+# RAM-bounded hash, src/feature.py:76-86). Genomic k-mer multiplicities
+# are Zipfian, so the spilled stream is massively duplicated; this kernel
+# aggregates each in-cap chunk ON DEVICE before anything crosses the
+# link:
+#
+#   1. sort the chunk's windows by key (9 ns/elem, the already-
+#      characterized cost);
+#   2. RLE: run starts, per-run length m and weight sum w (w == m on the
+#      unmasked path; the quality-masked paired path routes its 0/1
+#      window weights);
+#   3. restore each window's RUN ID to stream order (second sort) — the
+#      only per-window artifact, an int32 that can stay device-resident,
+#      or go to host RAM / disk when HBM is the bound;
+#   4. compact the unique (key, w) runs to a prefix (third sort by
+#      (is-run-start, position)) — the ONLY thing transferred D2H, one
+#      entry per DISTINCT key per chunk instead of one per window.
+#
+# Phase B then joins the unique entries through the existing weighted
+# sort-join (run weight sums are exact under partitioning because equal
+# keys share a range), and phase C maps run ids -> bins with one
+# bandwidth-shaped table lookup per chunk. Windows never round-trip.
+
+
+def _spill_aggregate_impl(words, weights, sentinel_first_word):
+    """Traceable core: (run_ids_stream, unique_words, unique_w, n_runs,
+    n_valid_runs). ``words`` is the key tuple (1 or 2 uint32/int32
+    operands, lexicographic); ``weights`` None on the unmasked path
+    (per-window weight 1, so the run weight sum is the run length).
+    Invalid windows carry the sentinel key (first word ==
+    ``sentinel_first_word``), sort last, and form trailing runs whose
+    n_valid_runs..n_runs-1 unique entries the host drops."""
+    n = words[0].shape[0]
+    nw = len(words)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if weights is None:
+        sorted_ops = jax.lax.sort(words + (idx,), num_keys=nw)
+        sw = None
+    else:
+        sorted_ops = jax.lax.sort(words + (weights, idx), num_keys=nw)
+        sw = sorted_ops[nw]
+    skw = sorted_ops[:nw]
+    si = sorted_ops[-1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    diff = skw[0][1:] != skw[0][:-1]
+    for wd in skw[1:]:
+        diff = diff | (wd[1:] != wd[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    end = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    if sw is None:
+        run_start = pscan.cummax(jnp.where(start, pos, 0))
+        run_end = pscan.cummin_reverse(jnp.where(end, pos, n))
+        wsum = run_end - run_start + 1
+    else:
+        cw = pscan.cumsum(sw)
+        excl = cw - sw
+        run_before = pscan.cummax(jnp.where(start, excl, 0))
+        run_total = pscan.cummin_reverse(
+            jnp.where(end, cw, jnp.iinfo(jnp.int32).max))
+        wsum = run_total - run_before
+    run_id = pscan.cumsum(start.astype(jnp.int32)) - 1
+    # restore run ids to stream order
+    _, run_ids_stream = jax.lax.sort((si, run_id), num_keys=1)
+    # compact unique runs to a prefix, preserving sorted-key order (so
+    # valid runs precede the sentinel runs)
+    notstart = jnp.logical_not(start).astype(jnp.int32)
+    comp = jax.lax.sort((notstart, pos) + skw + (wsum,), num_keys=2)
+    uniq_words = comp[2:2 + nw]
+    uniq_w = comp[2 + nw]
+    valid = skw[0] < sentinel_first_word
+    n_runs = jnp.sum(start.astype(jnp.int32))
+    n_valid = jnp.sum((start & valid).astype(jnp.int32))
+    return run_ids_stream, uniq_words, uniq_w, n_runs, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def spill_aggregate(keys: jax.Array, *, k: int):
+    """Single-word unmasked chunk aggregation (see module note above)."""
+    return _spill_aggregate_impl((keys,), None,
+                                 jnp.int32(kmer_key_sentinel(k)))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def spill_aggregate_weighted(keys: jax.Array, weights: jax.Array, *,
+                             k: int):
+    """Single-word quality-masked chunk aggregation."""
+    return _spill_aggregate_impl((keys,), weights,
+                                 jnp.int32(kmer_key_sentinel(k)))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def spill_aggregate_pair(hi: jax.Array, lo: jax.Array, *, k: int):
+    """Split-word (15 < k <= 31) unmasked chunk aggregation."""
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    return _spill_aggregate_impl((hi, lo), None, jnp.uint32(sent_hi))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def spill_aggregate_pair_weighted(hi: jax.Array, lo: jax.Array,
+                                  weights: jax.Array, *, k: int):
+    """Split-word quality-masked chunk aggregation."""
+    sent_hi, _ = kmer_key_sentinel_pair(k)
+    return _spill_aggregate_impl((hi, lo), weights, jnp.uint32(sent_hi))
+
+
+@jax.jit
+def map_run_bins(table: jax.Array, run_ids: jax.Array) -> jax.Array:
+    """Per-window bins from a per-run bin table (phase C of the
+    aggregated spill): table[run_id] via the bandwidth-shaped 128-lane
+    row gather. ``table`` is padded to a multiple of 128 with -1, and the
+    sentinel run's slot holds -1, so pad/invalid windows come back -1
+    exactly like :func:`sortjoin_bins`."""
+    return lookup_table_rows(table, run_ids,
+                             jnp.ones(run_ids.shape, bool))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("vector_size", "n_groups"),

@@ -420,6 +420,14 @@ class ShardedFeatureExtractor(FeatureExtractor):
     # mesh). The stream is still read exactly once; no table-path
     # restart.
     _host_spill = True
+    # The aggregated spill (features._SpillAgg) assumes single-device
+    # part arrays; this class's parts live sharded over the mesh, so it
+    # keeps the raw-key spill whose per-range joins route through the
+    # mesh kernels. (A shard_map-local aggregation would compose - each
+    # shard RLE-compresses its local windows and duplicate runs across
+    # shards merge in the weighted join - left for when multi-host spill
+    # walls matter.)
+    _spill_aggregate = False
     # Fused stacked uploads work on the mesh too: _put_stacked places
     # each (n_batches, R, ...) plane with rows sharded over ('data',),
     # so per-batch slices inherit exactly the shardings _device_batch

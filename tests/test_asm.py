@@ -428,3 +428,125 @@ def test_kmer_mapper_nm_estimates_base_mismatches(tmp_path):
     assert 1 <= nm[("p0", False)] <= 2
     assert 1 <= nm[("p1", True)] <= 3
     assert nm[("p1", False)] is None  # foreign: unmapped entirely
+
+
+# ---- naive assembler: vectorized impl == retained pure-Python oracle ----
+
+def _oracle_assemble_unitigs(seqs, k=31, min_len=100, min_count=None):
+    """The r1-r4 dict-of-strings implementation, retained verbatim as the
+    oracle the vectorized asm/naive.py must match bit-for-bit."""
+    from pangaea_tpu.io.bam import revcomp
+
+    def _kmers_of(seq, k):
+        for i in range(len(seq) - k + 1):
+            km = seq[i:i + k]
+            if "N" not in km:
+                yield km
+
+    counts = {}
+    total = 0
+    for seq in seqs:
+        for strand in (seq, revcomp(seq)):
+            for km in _kmers_of(strand.upper(), k):
+                counts[km] = counts.get(km, 0) + 1
+                total += 1
+    if min_count is None:
+        min_count = 1
+        if counts:
+            singletons = sum(1 for c in counts.values() if c == 1)
+            if singletons >= 0.2 * len(counts):
+                depth_w = sum(c * c for c in counts.values()) / total
+                if depth_w >= 8.0:
+                    min_count = max(2, int(depth_w // 12) + 1)
+    kmers = {km for km, c in counts.items() if c >= min_count}
+
+    def succs(km):
+        return [km[1:] + b for b in "ACGT" if km[1:] + b in kmers]
+
+    def preds(km):
+        return [b + km[:-1] for b in "ACGT" if b + km[:-1] in kmers]
+
+    visited = set()
+    contigs = []
+    seen_canon = set()
+    for start in sorted(kmers):
+        if start in visited:
+            continue
+        p = preds(start)
+        if len(p) == 1 and len(succs(p[0])) == 1:
+            continue
+        node = start
+        path = [node]
+        visited.add(node)
+        while True:
+            s = succs(node)
+            if len(s) != 1:
+                break
+            nxt = s[0]
+            if len(preds(nxt)) != 1 or nxt in visited:
+                break
+            path.append(nxt)
+            visited.add(nxt)
+            node = nxt
+        contig = path[0] + "".join(p[-1] for p in path[1:])
+        if len(contig) < min_len:
+            continue
+        canon = min(contig, revcomp(contig))
+        if canon in seen_canon:
+            continue
+        seen_canon.add(canon)
+        contigs.append(canon)
+    for start in sorted(kmers - visited):
+        if start in visited:
+            continue
+        node = start
+        path = [node]
+        visited.add(node)
+        while True:
+            s = succs(node)
+            if len(s) != 1:
+                break
+            nxt = s[0]
+            if nxt in visited:
+                break
+            path.append(nxt)
+            visited.add(nxt)
+            node = nxt
+        contig = path[0] + "".join(p[-1] for p in path[1:])
+        if len(contig) < min_len:
+            continue
+        canon = min(contig, revcomp(contig))
+        if canon not in seen_canon:
+            seen_canon.add(canon)
+            contigs.append(canon)
+    return contigs
+
+
+@pytest.mark.parametrize("k,err,circ", [(31, 0.0, False), (15, 0.01, False),
+                                        (21, 0.0, True), (31, 0.008, True)])
+def test_naive_assembler_matches_string_oracle(k, err, circ):
+    """Vectorized counting + index walk == the dict-of-strings oracle,
+    contig-for-contig in order (VERDICT r4 item 3: the rewrite must keep
+    contigs byte-identical), across branchy multi-genome graphs, error
+    reads (auto min_count engages), Ns, lowercase, and isolated cycles."""
+    rng = np.random.RandomState(k + int(err * 1000) + circ)
+    genomes = ["".join(rng.choice(list("ACGT"), 600)) for _ in range(3)]
+    reads = []
+    for g in genomes:
+        src = g + (g[:60] if circ else "")
+        for _ in range(120):
+            i = rng.randint(0, len(src) - 70)
+            r = list(src[i:i + 70])
+            for j in range(len(r)):
+                if rng.rand() < err:
+                    r[j] = "ACGT"[rng.randint(4)]
+                if rng.rand() < 0.002:
+                    r[j] = "N"
+            s = "".join(r)
+            if rng.rand() < 0.1:
+                s = s.lower()
+            reads.append(s)
+    from pangaea_tpu.asm.naive import assemble_unitigs
+    got = assemble_unitigs(list(reads), k=k, min_len=60)
+    want = _oracle_assemble_unitigs(list(reads), k=k, min_len=60)
+    assert got == want

@@ -613,3 +613,80 @@ def test_chunked_sortjoin_large_k_split_word(tmp_path):
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(t1, t2)
+
+
+@pytest.mark.parametrize("store", ["device", "host", "disk"])
+def test_aggregated_spill_stores_match_scatter(tmp_path, store):
+    """The aggregated spill (device sort+RLE, VERDICT r4 item 1) equals
+    the scatter oracle under every run-id residency tier."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=10,
+        pairs_per_barcode=6, read_len=40, seed=13)
+    kw = dict(kmer=9, tnf_kmer=4, min_length=100, max_read_len=64,
+              reads_per_batch=32, min_qual_char=None)
+    cfg = FeatureConfig(**kw, hist_impl="sortjoin",
+                        sortjoin_max_windows=500, spill_agg="on",
+                        spill_store=store,
+                        spill_dir=(str(tmp_path / "sp")
+                                   if store == "disk" else None))
+    fe = FeatureExtractor(cfg, str(tmp_path / f"agg_{store}"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    fe2 = FeatureExtractor(FeatureConfig(**kw, hist_impl="scatter"),
+                           str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+    if store == "disk":
+        # spill files are cleaned up after the join
+        assert not any(f.startswith("spill_runids")
+                       for f in __import__("os").listdir(tmp_path / "sp"))
+
+
+def test_aggregated_spill_raw_ab_equal(tmp_path, monkeypatch):
+    """PANGAEA_SPILL_IMPL A/B: raw and agg spills produce identical
+    features (incl. the masked paired weighted join and midstream
+    overflow engagement)."""
+    import os as _os
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    r1, r2 = str(tmp_path / "r1.fq.gz"), str(tmp_path / "r2.fq.gz")
+    simulate_linked_reads(out_r1=r1, out_r2=r2, n_species=2,
+                          genome_len=4_000, n_barcodes=10,
+                          pairs_per_barcode=6, read_len=40,
+                          low_qual_rate=0.2, seed=5)
+    kw = dict(kmer=9, tnf_kmer=4, min_length=100, max_read_len=64,
+              reads_per_batch=32, hist_impl="sortjoin",
+              sortjoin_max_windows=600)
+    outs = {}
+    for impl in ("raw", "agg"):
+        monkeypatch.setenv("PANGAEA_SPILL_IMPL", impl)
+        fe = FeatureExtractor(FeatureConfig(**kw),
+                              str(tmp_path / impl))
+        outs[impl] = fe.extract_features(reads1=r1, reads2=r2)
+    monkeypatch.delenv("PANGAEA_SPILL_IMPL")
+    for a, b in zip(outs["raw"], outs["agg"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_aggregated_spill_device_budget_demotes_to_host(tmp_path):
+    """When device-resident run ids exceed spill_device_budget, later
+    chunks demote to host RAM mid-run and the result is unchanged."""
+    from pangaea_tpu.io.sim import simulate_linked_reads
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(
+        out_interleaved=fq, n_species=2, genome_len=4_000, n_barcodes=10,
+        pairs_per_barcode=6, read_len=40, seed=13)
+    kw = dict(kmer=9, tnf_kmer=4, min_length=100, max_read_len=64,
+              reads_per_batch=32, min_qual_char=None)
+    cfg = FeatureConfig(**kw, hist_impl="sortjoin",
+                        sortjoin_max_windows=500, spill_agg="on",
+                        spill_store="device", spill_device_budget=4096)
+    fe = FeatureExtractor(cfg, str(tmp_path / "bud"))
+    n1, a1, t1 = fe.extract_features(interleaved=fq)
+    fe2 = FeatureExtractor(FeatureConfig(**kw, hist_impl="scatter"),
+                           str(tmp_path / "sc"))
+    n2, a2, t2 = fe2.extract_features(interleaved=fq)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
