@@ -62,6 +62,54 @@ def measure(n_dev: int) -> float:
     return N_BATCHES * ROWS / dt
 
 
+ROUTED_N = int(os.environ.get("BENCH_SCALING_ROUTED_N", 1 << 21))
+
+
+def measure_routed(n_dev: int) -> dict:
+    """Routed sort-join health at one mesh size: wall, routed-pair
+    volume (the RLE a2a traffic), its ratio to raw instances, per-owner
+    bucket occupancy, and overflow — the regression surface for the
+    distributed kernels (VERDICT r4 item 7: committed every round as
+    SCALING_r*.json so a routed-volume/occupancy regression diffs
+    visibly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pangaea_tpu.parallel import data_mesh
+    from pangaea_tpu.parallel.dist import make_sharded_sortjoin
+    from pangaea_tpu.utils import device_sync
+
+    mesh = data_mesh(n_dev)
+    bins_fn, row = make_sharded_sortjoin(mesh, K, 10, 400,
+                                         with_stats=True)
+    rng = np.random.RandomState(3)
+    # Zipfian keys: the regime the RLE routing exists for
+    ranks = rng.zipf(1.3, ROUTED_N).astype(np.int64)
+    keys = ((ranks * 2654435761) % (4 ** K)).astype(np.int32)
+    kd = jax.device_put(jnp.asarray(keys), row)
+    bins, ov, counts = bins_fn(kd)  # compile
+    device_sync(bins)
+    t0 = time.time()
+    bins, ov, counts = bins_fn(kd)
+    device_sync(bins)
+    wall = time.time() - t0
+    counts = np.asarray(counts)
+    routed = int(counts.sum())
+    per_owner = counts.sum(axis=0)
+    n_local = ROUTED_N // n_dev
+    cap = max(1, int(2.0 * n_local / n_dev))
+    return {
+        "wall_s": round(wall, 3),
+        "routed_pairs": routed,
+        "a2a_volume_ratio": round(routed / ROUTED_N, 4),
+        "owner_bucket_occupancy_max": round(
+            float(per_owner.max()) / (cap * n_dev), 4),
+        "owner_load_imbalance": round(
+            float(per_owner.max()) / max(1.0, per_owner.mean()), 3),
+        "overflow": int(np.asarray(ov).sum()),
+    }
+
+
 def main():
     import jax
     if "--cpu-mesh" in sys.argv:
@@ -70,9 +118,13 @@ def main():
     sizes = sorted({1, max(2, n // 2), n} & set(range(1, n + 1))) \
         if n > 1 else [1]
     rates = {}
+    routed = {}
     for s in sizes:
         rates[s] = measure(s)
         print(f"devices={s}: {rates[s]:,.0f} reads/s", file=sys.stderr)
+        if s > 1:
+            routed[s] = measure_routed(s)
+            print(f"devices={s}: routed {routed[s]}", file=sys.stderr)
     if len(sizes) > 1:
         eff = rates[sizes[-1]] / (rates[1] * sizes[-1])
     else:
@@ -83,6 +135,8 @@ def main():
         "unit": f"efficiency@{sizes[-1]}dev",
         "vs_baseline": round(eff / 0.8, 2),  # target >= 0.8
         "reads_per_s": {str(k): round(v, 0) for k, v in rates.items()},
+        "routed_sortjoin": {str(k): v for k, v in routed.items()},
+        "routed_n_keys": ROUTED_N,
     }
     if "--cpu-mesh" in sys.argv:
         # N virtual devices share the same host cores: the number validates

@@ -137,9 +137,13 @@ class KmerMapper:
         """Returns (contig_idx or -1, votes, n_windows) per sequence.
 
         Reads longer than max_row_len are truncated for mapping (linked
-        short reads are ~150 bp; only fallback callers hit this)."""
+        short reads are ~150 bp; only fallback callers hit this). Row
+        width quantizes to 128 at the batch's longest read instead of
+        always max_row_len: 150 bp reads in 1024-wide rows were 7x of
+        wasted gather/sort volume per mapback batch."""
         R = len(seqs)
-        L = self.max_row_len
+        mx = max((len(s) for s in seqs), default=1)
+        L = min(self.max_row_len, -(-max(mx, 1) // 128) * 128)
         codes = np.full((R, L), 4, np.uint8)
         lengths = np.zeros(R, np.int32)
         for i, s in enumerate(seqs):
@@ -153,7 +157,7 @@ class KmerMapper:
 
 def map_pairs_to_bam(mapper: KmerMapper, pair_iter, bam_path: str,
                      min_vote_frac: float = 0.5,
-                     batch_pairs: int = 8192) -> Dict[int, float]:
+                     batch_pairs: int = 32768) -> Dict[int, float]:
     """Map read pairs, write BAM records, accumulate per-contig depth.
 
     Returns {contig_idx: total_bases_mapped} (depth = bases / length).

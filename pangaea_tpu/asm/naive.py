@@ -152,10 +152,28 @@ def assemble_unitigs(seqs: Iterable[str], k: int = 31,
       the one-line version of what megahit's error correction does."""
     assert k <= 31
     fwd = _forward_window_keys(seqs, k)
-    all_keys = np.concatenate([fwd, _revcomp_u64(fwd, k)])
-    total = all_keys.shape[0]
-    uniq, cnt = np.unique(all_keys, return_counts=True)
-    del all_keys, fwd
+    # Counting both strands without materializing (or sorting) the
+    # reverse-complement instance stream: counts are strand-symmetric —
+    # every forward occurrence of x puts one rc(x) on the other strand,
+    # so count(x) = c_fwd(x) + c_fwd(rc(x)). Unique the N forward keys
+    # once, then combine per DISTINCT key (~coverage-fold fewer
+    # elements through the revcomp bit-twiddle and the merge).
+    total = 2 * fwd.shape[0]
+    u, cu = np.unique(fwd, return_counts=True)
+    del fwd
+    rcu = _revcomp_u64(u, k)
+    pos = np.searchsorted(u, rcu)
+    hit = (pos < u.shape[0]) & (u[np.minimum(pos, u.shape[0] - 1)] == rcu)
+    cnt_u = cu + np.where(hit, cu[np.minimum(pos, u.shape[0] - 1)], 0)
+    # keys appearing ONLY on the reverse strand: rc(x) for x whose rc is
+    # not itself a forward key; their count equals x's
+    new_keys = rcu[~hit]
+    new_cnt = cu[~hit]
+    uniq = np.concatenate([u, new_keys])
+    cnt = np.concatenate([cnt_u, new_cnt])
+    order = np.argsort(uniq, kind="stable")
+    uniq, cnt = uniq[order], cnt[order]
+    del u, cu, rcu, pos, hit, new_keys, new_cnt, order
     if min_count is None:
         min_count = 1
         if uniq.size:

@@ -50,6 +50,9 @@ def simulate_linked_reads(
     abundance: str = "dirichlet",
     zipf_exponent: float = 1.25,
     shared_segment_frac: float = 0.0,
+    indel_rate: float = 0.0,
+    read_len_sd: float = 0.0,
+    barcode_error_rate: float = 0.0,
 ) -> SimResult:
     """Write barcode-sorted linked reads; returns ground-truth labels.
 
@@ -77,6 +80,25 @@ def simulate_linked_reads(
     - ``shared_segment_frac``: a plasmid-like segment of this fraction
       of the genome length is generated once and spliced into EVERY
       genome at a random position (shared k-mer content across species).
+
+    Realistic-read knobs (r5, VERDICT r4 item 4 — every earlier ARI /
+    parity / soak run was substitution-only; these exercise what real
+    sequencers actually produce; all default OFF and consume no rng
+    draws when off, so cached datasets replay identically):
+
+    - ``indel_rate``: per-template-base probability of an indel, split
+      evenly between a deletion and a duplication-style insertion (the
+      base is emitted twice — the dominant Illumina/stLFR indel mode is
+      homopolymer slippage). Reads keep their target length by drawing
+      from a longer template window, like a real instrument cycles a
+      fixed number of times regardless of the molecule's indels.
+    - ``read_len_sd``: per-read target lengths ~ N(read_len, sd),
+      clipped to [40, read_len] (adapter-trimmed short tails).
+    - ``barcode_error_rate``: per-pair probability the EMITTED barcode
+      string carries one substituted base (both mates — the barcode is
+      sequenced once), minting novel singleton groups exactly like an
+      uncorrected barcode read error. The stream is re-sorted by the
+      emitted barcode so the output stays barcode-sorted.
     """
     rng = np.random.default_rng(seed)
     # Species get distinct base-composition biases (Dirichlet-sampled) so
@@ -142,6 +164,32 @@ def simulate_linked_reads(
                         rng.integers(63, 75, n)).astype(np.uint8)
         return chars.tobytes().decode(), qual.tobytes().decode()
 
+    def take_read(template: str, want: int) -> str:
+        """Target-length read off a template window, with indels when
+        enabled (deletions drop a base, insertions emit it twice;
+        drawing from the longer window keeps the length at ``want``
+        like a fixed-cycle instrument)."""
+        if read_len_sd > 0:
+            want = int(np.clip(rng.normal(want, read_len_sd), 40, want))
+        if indel_rate <= 0:
+            return template[:want]
+        chars = np.frombuffer(template.encode(), np.uint8)
+        n = chars.shape[0]
+        dels = rng.random(n) < indel_rate / 2
+        ins = rng.random(n) < indel_rate / 2
+        rep = (~dels).astype(np.int8) + ins.astype(np.int8)
+        return np.repeat(chars, rep)[:want].tobytes().decode()
+
+    def emit_barcode(bc: str) -> str:
+        """The header barcode, with an uncorrected sequencing error at
+        one position when enabled."""
+        if barcode_error_rate <= 0 or rng.random() >= barcode_error_rate:
+            return bc
+        pos = int(rng.integers(0, len(bc)))
+        old = bc[pos]
+        new = "ACGT"[("ACGT".index(old) + int(rng.integers(1, 4))) % 4]
+        return bc[:pos] + new + bc[pos + 1:]
+
     def opener(path):
         return (gzip.open(path, "wt") if path.endswith(".gz")
                 else open(path, "w"))
@@ -150,6 +198,14 @@ def simulate_linked_reads(
     f1 = opener(out_r1) if out_r1 else None
     f2 = opener(out_r2) if out_r2 else None
 
+    # template slack for indel'd reads (a real instrument keeps cycling
+    # past the molecule's deletions)
+    slack = 0
+    if indel_rate > 0:
+        slack = min(max(16, int(read_len * indel_rate * 2) + 8),
+                    max(0, insert_len - read_len))
+    buffered = [] if barcode_error_rate > 0 else None
+
     n_pairs = 0
     try:
         for bc in bcs:
@@ -157,24 +213,157 @@ def simulate_linked_reads(
             for p in range(pairs_per_barcode):
                 pos = int(rng.integers(0, len(g) - insert_len))
                 frag = g[pos:pos + insert_len]
-                r1, q1 = mutate(frag[:read_len])
-                r2, q2 = mutate(_revcomp(frag[-read_len:]))
+                r1, q1 = mutate(take_read(frag[:read_len + slack],
+                                          read_len))
+                r2, q2 = mutate(take_read(
+                    _revcomp(frag[-(read_len + slack):]), read_len))
                 name = f"read_{bc}_{p}"
+                ebc = emit_barcode(bc)
                 if fmt == "10x":
-                    h1 = f"@{name}\tBX:Z:{bc}-1"
+                    h1 = f"@{name}\tBX:Z:{ebc}-1"
                     h2 = h1
                 else:
-                    h1 = f"@{name}#{bc}/1"
-                    h2 = f"@{name}#{bc}/2"
-                if fi:
-                    fi.write(f"{h1}\n{r1}\n+\n{q1}\n{h2}\n{r2}\n+\n{q2}\n")
-                if f1:
-                    f1.write(f"{h1}\n{r1}\n+\n{q1}\n")
-                if f2:
-                    f2.write(f"{h2}\n{r2}\n+\n{q2}\n")
+                    h1 = f"@{name}#{ebc}/1"
+                    h2 = f"@{name}#{ebc}/2"
+                b1 = f"{h1}\n{r1}\n+\n{q1}\n"
+                b2 = f"{h2}\n{r2}\n+\n{q2}\n"
+                if buffered is not None:
+                    buffered.append((ebc, b1, b2))
+                else:
+                    if fi:
+                        fi.write(b1 + b2)
+                    if f1:
+                        f1.write(b1)
+                    if f2:
+                        f2.write(b2)
                 n_pairs += 1
+        if buffered is not None:
+            # errored barcodes land where step-0 would sort them, so the
+            # output keeps the barcode-sorted contract
+            buffered.sort(key=lambda t: t[0])
+            for _, b1, b2 in buffered:
+                if fi:
+                    fi.write(b1 + b2)
+                if f1:
+                    f1.write(b1)
+                if f2:
+                    f2.write(b2)
     finally:
         for f in (fi, f1, f2):
             if f:
                 f.close()
     return SimResult(bcs, barcode_species, n_pairs)
+
+
+@dataclass
+class StlfrSimResult:
+    whitelist: List[str]            # whitelist barcode strings, in order
+    partitions: List[Tuple[int, int, int]]  # 1-based index triple per partition
+    partition_species: List[int]
+    virtual_species: Dict[str, int]  # translated barcode -> species
+    n_pairs: int
+    n_unassigned: int
+    n_index_errors: int
+
+
+def simulate_stlfr_raw(
+    out_r1: str,
+    out_r2: str,
+    whitelist_path: str,
+    n_species: int = 4,
+    genome_len: int = 30_000,
+    n_partitions: int = 200,
+    pairs_per_partition: int = 20,
+    read_len: int = 100,
+    insert_len: int = 300,
+    n_wl: int = 96,
+    wl_len: int = 10,
+    unassigned_frac: float = 0.02,
+    index_error_rate: float = 0.0,
+    error_rate: float = 0.0,
+    seed: int = 0,
+) -> StlfrSimResult:
+    """RAW stLFR paired reads + whitelist, for the preprocess_stlfr
+    whitelist-translation exercise (preprocess_stlfr.cpp:76-103).
+
+    Headers are ``@<name>#<i1>_<i2>_<i3>/1`` with 1-based whitelist
+    indices; preprocessing translates the triple to the concatenation of
+    the three whitelist barcodes. Realism knobs:
+
+    - partitions draw triples at random, so with enough partitions two
+      PHYSICAL partitions share a virtual barcode (birthday collision —
+      real stLFR merges those fragment sets);
+    - ``unassigned_frac`` of pairs carry ``0_0_0`` (no barcode call;
+      the reference drops the BX tag for those, :90-99);
+    - ``index_error_rate`` of pairs get ONE index re-drawn (a barcode
+      segment mis-called then "corrected" to the wrong whitelist entry)
+      — reads leak into another, possibly novel, virtual barcode.
+
+    ``virtual_species`` maps each intended translated barcode to its
+    species (collisions resolved first-writer, mirroring how truth is
+    scored); error-leaked reads are noise by design.
+    """
+    rng = np.random.default_rng(seed)
+    genomes = []
+    for _ in range(n_species):
+        probs = rng.dirichlet(np.full(4, 1.5))
+        genomes.append("".join("ACGT"[b] for b in
+                               rng.choice(4, genome_len, p=probs)))
+    # whitelist: distinct fixed-width barcodes, written one per line
+    # (the reference keeps text up to the first tab,
+    # preprocess_stlfr.cpp:35-37 — exercise that with a 2nd column)
+    wl = []
+    while len(wl) < n_wl:
+        cand = "".join("ACGT"[b] for b in rng.integers(0, 4, wl_len))
+        if cand not in wl:
+            wl.append(cand)
+    with open(whitelist_path, "w") as f:
+        for i, b in enumerate(wl):
+            f.write(f"{b}\t{i + 1}\n")
+
+    partitions = [tuple(int(x) + 1 for x in rng.integers(0, n_wl, 3))
+                  for _ in range(n_partitions)]
+    part_species = [int(rng.integers(0, n_species))
+                    for _ in range(n_partitions)]
+    virtual_species: Dict[str, int] = {}
+    for tri, sp in zip(partitions, part_species):
+        vb = wl[tri[0] - 1] + wl[tri[1] - 1] + wl[tri[2] - 1]
+        virtual_species.setdefault(vb, sp)
+
+    def mutate(s: str) -> str:
+        if error_rate <= 0:
+            return s
+        chars = np.frombuffer(s.encode(), np.uint8).copy()
+        errs = rng.random(len(s)) < error_rate
+        if errs.any():
+            chars[errs] = _BASES[rng.integers(0, 4, int(errs.sum()))]
+        return chars.tobytes().decode()
+
+    n_pairs = n_unassigned = n_index_errors = 0
+    with open(out_r1, "w") as f1, open(out_r2, "w") as f2:
+        for pid, (tri, sp) in enumerate(zip(partitions, part_species)):
+            g = genomes[sp]
+            for p in range(pairs_per_partition):
+                pos = int(rng.integers(0, genome_len - insert_len))
+                frag = g[pos:pos + insert_len]
+                r1 = mutate(frag[:read_len])
+                r2 = mutate(_revcomp(frag[-read_len:]))
+                emit = tri
+                if unassigned_frac > 0 and rng.random() < unassigned_frac:
+                    emit = (0, 0, 0)
+                    n_unassigned += 1
+                elif index_error_rate > 0 and \
+                        rng.random() < index_error_rate:
+                    which = int(rng.integers(0, 3))
+                    emit = list(tri)
+                    emit[which] = int(rng.integers(1, n_wl + 1))
+                    emit = tuple(emit)
+                    n_index_errors += emit != tri
+                bc = f"{emit[0]}_{emit[1]}_{emit[2]}"
+                name = f"sr_{pid}_{p}"
+                q = "I" * read_len
+                f1.write(f"@{name}#{bc}/1\n{r1}\n+\n{q}\n")
+                f2.write(f"@{name}#{bc}/2\n{r2}\n+\n{q}\n")
+                n_pairs += 1
+    return StlfrSimResult(wl, partitions, part_species, virtual_species,
+                          n_pairs, n_unassigned, n_index_errors)

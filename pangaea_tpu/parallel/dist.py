@@ -635,7 +635,7 @@ def sharded_unit_chunk(trainer, mesh: Mesh):
         trainer._unit_chunk_impl,
         donate_argnums=(0, 1, 2, 3, 4, 5, 6),
         in_shardings=(repl,) * 9 + (idx3_sh, repl, repl, idx3_sh, repl),
-        out_shardings=(repl,) * 7 + ((repl,) * 5,))
+        out_shardings=(repl,) * 8)  # outs is one stacked (C, 8) row
 
 
 def sharded_lloyd(mesh: Mesh, max_iter: int = 300):

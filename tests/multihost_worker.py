@@ -46,8 +46,25 @@ cfg = FeatureConfig(kmer=9, min_length=100, max_read_len=64,
                     bug_compat_boundary_leak=False)
 fe = FeatureExtractor(cfg, os.path.join(outdir, f"feat{pid}"))
 
-# partial global table over this host's shard -> psum across processes
-partial = fe.global_kmer_table(interleaved=mine)
+# partial global table over this host's shard -> psum across processes.
+# The partial is an ARTIFACT (like every pipeline stage): a worker
+# relaunched after a mid-run death resumes from it instead of re-reading
+# its shard (tests/test_multihost.py kill-and-resume).
+partial_path = os.path.join(outdir, f"partial{pid}.npy")
+if os.path.exists(partial_path):
+    print(f"worker {pid}: resuming partial table from artifact")
+    import jax.numpy as jnp
+    partial = jnp.asarray(np.load(partial_path))
+else:
+    partial = fe.global_kmer_table(interleaved=mine)
+    tmp = partial_path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, np.asarray(partial))
+    os.replace(tmp, partial_path)
+if os.environ.get("PANGAEA_MH_DIE_AFTER_PARTIAL") == str(pid):
+    print(f"worker {pid}: injected death after partial-table artifact",
+          flush=True)
+    os._exit(17)
 merged = allreduce_table(partial)
 
 # per-barcode features against the MERGED table (bins depend on global

@@ -39,25 +39,7 @@ def dataset(tmp_path_factory):
     return str(d), fq
 
 
-def test_two_process_distributed_features(dataset):
-    base, fq = dataset
-    outdir = os.path.join(base, "dist")
-    os.makedirs(outdir, exist_ok=True)
-    port = _free_port()
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # no virtual mesh inside the workers
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, fq, outdir, str(port), str(i), "2"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True) for i in range(2)]
-    outs = [p.communicate(timeout=420) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
-
-    r0 = np.load(os.path.join(outdir, "result0.npz"))
-    r1 = np.load(os.path.join(outdir, "result1.npz"))
-
-    # single-process truth over the whole file, same config
+def _single_truth(base, fq):
     from pangaea_tpu.config import FeatureConfig
     from pangaea_tpu.features import FeatureExtractor
     cfg = FeatureConfig(kmer=9, min_length=100, max_read_len=64,
@@ -67,26 +49,100 @@ def test_two_process_distributed_features(dataset):
     fe = FeatureExtractor(cfg, os.path.join(base, "single"))
     names, abd, tnf = fe.extract_features(interleaved=fq)
     table = fe.global_kmer_table(interleaved=fq)
+    return names, abd, tnf, table
 
-    # both processes saw the same psum-merged table (== whole-file table)
+
+def _check_results(outdir, n, names, abd, tnf, table):
+    rs = [np.load(os.path.join(outdir, f"result{i}.npz"))
+          for i in range(n)]
     want_sum = int(np.asarray(table).sum(dtype=np.int64))
-    assert int(r0["merged_table_sum"]) == want_sum
-    assert int(r1["merged_table_sum"]) == want_sum
-
-    # shard-local features concatenate to exactly the single-process run
-    # (split is at barcode boundaries; groups never span shards)
-    got_names = np.concatenate([r0["names"], r1["names"]])
+    for r in rs:
+        assert int(r["merged_table_sum"]) == want_sum
+    got_names = np.concatenate([r["names"] for r in rs])
     np.testing.assert_array_equal(got_names, np.asarray(names, dtype="U"))
     np.testing.assert_array_equal(
-        np.concatenate([r0["abd"], r1["abd"]]), abd)
+        np.concatenate([r["abd"] for r in rs]), abd)
     np.testing.assert_array_equal(
-        np.concatenate([r0["tnf"], r1["tnf"]]), tnf)
-    # both shards hold real work
-    assert len(r0["names"]) > 0 and len(r1["names"]) > 0
+        np.concatenate([r["tnf"] for r in rs]), tnf)
+    sizes = [len(r["names"]) for r in rs]
+    assert all(s > 0 for s in sizes)
+    for r in rs:
+        np.testing.assert_array_equal(r["all_abd"], abd.astype(np.float32))
+        np.testing.assert_array_equal(r["all_tnf"], tnf.astype(np.float32))
+    return sizes
 
-    # ragged allgather reassembled the global matrices on every process
-    for r in (r0, r1):
-        np.testing.assert_array_equal(r["all_abd"],
-                                      abd.astype(np.float32))
-        np.testing.assert_array_equal(r["all_tnf"],
-                                      tnf.astype(np.float32))
+
+@pytest.mark.parametrize("nprocs", [2, 3, 4])
+def test_multiprocess_distributed_features(dataset, nprocs):
+    """N-process jax.distributed run (VERDICT r4 item 9: past 2
+    symmetric processes — 40 barcodes over 3/4 shards split at barcode
+    boundaries are RAGGED) equals the single-process run."""
+    base, fq = dataset
+    outdir = os.path.join(base, f"dist{nprocs}")
+    os.makedirs(outdir, exist_ok=True)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no virtual mesh inside the workers
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, fq, outdir, str(port), str(i),
+         str(nprocs)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(nprocs)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
+    names, abd, tnf, table = _single_truth(base, fq)
+    sizes = _check_results(outdir, nprocs, names, abd, tnf, table)
+    if nprocs > 2:
+        assert len(set(sizes)) > 1, f"shards not ragged: {sizes}"
+
+
+def test_worker_kill_and_resume(dataset):
+    """One worker SIGKILLed mid-run (after its partial-table artifact,
+    before the allreduce): the survivors cannot complete the collective
+    and the job is torn down; a FULL relaunch resumes — survivors load
+    their partial tables from artifacts instead of re-reading shards —
+    and completes with results identical to single-process
+    (VERDICT r4 item 9)."""
+    base, fq = dataset
+    nprocs = 3
+    outdir = os.path.join(base, "kill")
+    os.makedirs(outdir, exist_ok=True)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # attempt 1: worker 1 dies right after writing its artifact
+    port = _free_port()
+    env1 = dict(env, PANGAEA_MH_DIE_AFTER_PARTIAL="1")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, fq, outdir, str(port), str(i),
+         str(nprocs)],
+        env=env1, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(nprocs)]
+    # the doomed worker exits 17; the others block in the allreduce (or
+    # die on the broken connection) — tear the attempt down like a
+    # supervisor would
+    assert procs[1].wait(timeout=300) == 17
+    for i, p in enumerate(procs):
+        if i != 1:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        p.communicate()
+    assert os.path.exists(os.path.join(outdir, "partial1.npy"))
+    assert not os.path.exists(os.path.join(outdir, "result0.npz"))
+    # attempt 2: full relaunch on a fresh port; every worker finds a
+    # partial-table artifact (worker 1 wrote its own before dying)
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, fq, outdir, str(port), str(i),
+         str(nprocs)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(nprocs)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"relaunch failed:\n{so}\n{se[-3000:]}"
+        assert "resuming partial table from artifact" in so
+    names, abd, tnf, table = _single_truth(base, fq)
+    _check_results(outdir, nprocs, names, abd, tnf, table)

@@ -517,8 +517,12 @@ def test_sharded_unit_chunk_matches_single(mesh):
 
     out1 = run_single()
     out2 = run_sharded()
-    (val1, stats1, imp1, stop1, ran1) = [np.asarray(o) for o in out1[7]]
-    (val2, stats2, imp2, stop2, ran2) = [np.asarray(o) for o in out2[7]]
+    rows1, rows2 = np.asarray(out1[7]), np.asarray(out2[7])
+    # (C, 8) stacked rows: [val, stats4, improved, stop, ran]
+    val1, imp1, stop1, ran1 = (rows1[:, 0], rows1[:, 5] != 0,
+                               rows1[:, 6] != 0, rows1[:, 7] != 0)
+    val2, imp2, stop2, ran2 = (rows2[:, 0], rows2[:, 5] != 0,
+                               rows2[:, 6] != 0, rows2[:, 7] != 0)
     np.testing.assert_array_equal(ran1, ran2)
     np.testing.assert_array_equal(imp1, imp2)
     np.testing.assert_array_equal(stop1, stop2)

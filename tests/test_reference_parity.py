@@ -238,3 +238,79 @@ def test_count_kmer_parity_k21(data):
     ref_names, ref_rows = parse_csv_gz(out)
     assert list(names) == ref_names
     np.testing.assert_array_equal(abd.astype(np.float64), ref_rows)
+
+
+def test_feature_parity_realistic_reads(tmp_path):
+    """Byte-parity survives REALISTIC reads (VERDICT r4 item 4): indels,
+    read-length variation, uncorrected barcode errors, substitution
+    errors + heterogeneous quality — the same files feed the reference
+    binaries and both of our paths (table AND default sort-join)."""
+    inter = str(tmp_path / "real.fq.gz")
+    simulate_linked_reads(out_interleaved=inter, n_species=3,
+                          genome_len=20_000, n_barcodes=80,
+                          pairs_per_barcode=25, read_len=100,
+                          error_rate=0.01, low_qual_rate=0.1,
+                          indel_rate=0.01, read_len_sd=12.0,
+                          barcode_error_rate=0.05, seed=77)
+    cfg = FeatureConfig(kmer=K, reads_per_batch=4096, hist_impl="scatter")
+    fe = FeatureExtractor(cfg, str(tmp_path / "ours"))
+    table = fe.global_kmer_table(interleaved=inter)
+    dump = str(tmp_path / "ours" / "table.dump")
+    fe.export_jellyfish_dump(table, dump)
+    names, abd, tnf = fe.group_features(table, interleaved=inter)
+    # reference binaries on the same realistic file
+    out_k = str(tmp_path / "ref_kmer.gz")
+    subprocess.run([os.path.join(BIN, "count_kmer"), "-i", inter,
+                    "-g", dump, "-k", str(K), "-l", "2000", "-w", "10",
+                    "-v", "400", "-t", "4", "-o", out_k],
+                   check=True, capture_output=True)
+    ref_names, ref_rows = parse_csv_gz(out_k)
+    assert list(names) == ref_names
+    np.testing.assert_array_equal(abd.astype(np.float64), ref_rows)
+    out_t = str(tmp_path / "ref_tnf.gz")
+    subprocess.run([os.path.join(BIN, "count_tnf"), "-i", inter,
+                    "-k", "4", "-l", "2000", "-t", "4", "-o", out_t],
+                   check=True, capture_output=True)
+    ref_names, ref_rows = parse_csv_gz(out_t)
+    assert list(names) == ref_names
+    np.testing.assert_array_equal(tnf.astype(np.float64), ref_rows)
+    # our default (sort-join) path agrees with the table path on the
+    # same realistic input
+    fe2 = FeatureExtractor(FeatureConfig(kmer=K, reads_per_batch=4096,
+                                         hist_impl="sortjoin",
+                                         min_qual_char=None),
+                           str(tmp_path / "ours_sj"))
+    n2, a2, t2 = fe2.extract_features(interleaved=inter)
+    np.testing.assert_array_equal(np.asarray(names), n2)
+    np.testing.assert_array_equal(abd, a2)
+    np.testing.assert_array_equal(tnf, t2)
+
+
+def test_preprocess_stlfr_whitelist_parity(tmp_path):
+    """Whitelist-translation byte-parity on RAW stLFR reads with
+    realistic collisions, 0_0_0 unassigned pairs and index errors
+    (preprocess_stlfr.cpp:76-103; the r1-r4 parity case covered numeric
+    mode only)."""
+    from pangaea_tpu.io.preprocess import load_whitelist, preprocess_stlfr
+    from pangaea_tpu.io.sim import simulate_stlfr_raw
+    r1 = str(tmp_path / "raw_1.fq")
+    r2 = str(tmp_path / "raw_2.fq")
+    wl_path = str(tmp_path / "whitelist.tsv")
+    res = simulate_stlfr_raw(r1, r2, wl_path, n_partitions=120,
+                             pairs_per_partition=4, n_wl=16,
+                             unassigned_frac=0.05, index_error_rate=0.1,
+                             error_rate=0.01, seed=9)
+    # with only 16 whitelist entries and 120 partitions, triple
+    # collisions are certain — the realistic merge case
+    assert len(res.virtual_species) < len(res.partitions)
+    assert res.n_unassigned > 0 and res.n_index_errors > 0
+    subprocess.run([os.path.join(BIN, "preprocess_stlfr"), "-1", r1,
+                    "-2", r2, "-w", wl_path, "-l",
+                    "-o", str(tmp_path / "refwl")],
+                   check=True, capture_output=True)
+    preprocess_stlfr(r1, r2, str(tmp_path / "ourwl"), numeric=False,
+                     library=True, whitelist=load_whitelist(wl_path))
+    for suffix in ("_1.fq", "_2.fq"):
+        ref = open(str(tmp_path / f"refwl{suffix}")).read()
+        got = open(str(tmp_path / f"ourwl{suffix}")).read()
+        assert got == ref, f"{suffix} differs"

@@ -209,6 +209,11 @@ def main():
                          "half, Zipf abundances, a 5%% shared "
                          "plasmid-like segment — a regime where the "
                          "reference itself scores ARI < 1")
+    ap.add_argument("--realistic", action="store_true",
+                    help="realistic reads (VERDICT r4 item 4): 1%% "
+                         "indels (homopolymer-style), read-length sd 12, "
+                         "2%% uncorrected barcode errors — on top of "
+                         "whatever --error-rate/--low-qual-rate say")
     ap.add_argument("--report", default="")
     ap.add_argument("--ours-backend", default="",
                     help="force a jax backend for our side (e.g. cpu)")
@@ -241,6 +246,9 @@ def main():
             # 0.71), but the comparison needs both sides to finish
             kw.update(ani_siblings=args.species // 2, ani=0.95,
                       abundance="zipf", shared_segment_frac=0.05)
+        if args.realistic:
+            kw.update(indel_rate=0.01, read_len_sd=12.0,
+                      barcode_error_rate=0.02)
         res = simulate_linked_reads(
             n_species=args.species, genome_len=args.genome_len,
             n_barcodes=args.barcodes, pairs_per_barcode=args.pairs,
