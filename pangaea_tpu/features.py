@@ -173,6 +173,19 @@ class _SpillAgg:
             os.makedirs(cfg.spill_dir, exist_ok=True)
         self._cur_g = -1
         self._cur_bins = None
+        # disk mode keeps host RSS FLAT: unique runs append to
+        # key-hash-partitioned bucket files (equal keys share a bucket,
+        # so per-bucket joins are global and exact) carrying
+        # (chunk, run_id) back-pointers, and the per-chunk run->bin
+        # tables live in memmapped files — phase B touches one bucket
+        # at a time, phase C one chunk at a time.
+        self.n_buckets = 64
+        if self.store == "disk":
+            self._bucket_paths = [
+                os.path.join(cfg.spill_dir, f"spill_bucket_{b}.bin")
+                for b in range(self.n_buckets)]
+            for p in self._bucket_paths:
+                open(p, "wb").close()
 
     # ---- phase A ---------------------------------------------------------
 
@@ -240,23 +253,97 @@ class _SpillAgg:
             grp["uw_dev"] = jnp.where(live, uwt[:uq], 0)
             grp["run_ids"] = run_ids
             self.dev_bytes += 4 * n_win + 12 * uq
-        else:
+        elif store == "host":
             grp["uniq"] = tuple(np.asarray(wd[:uq])[:n_valid]
                                 for wd in uwords)
             grp["uw"] = np.asarray(uwt[:uq])[:n_valid]
-            if store == "host":
-                grp["run_ids"] = np.asarray(run_ids)
-            else:  # disk
-                path = os.path.join(self.fe.cfg.spill_dir,
-                                    f"spill_runids_{len(self.groups)}.bin")
-                np.asarray(run_ids).tofile(path)
-                grp["run_ids"] = path
+            grp["run_ids"] = np.asarray(run_ids)
+        else:  # disk: run ids to a per-chunk file, uniques to buckets
+            path = os.path.join(self.fe.cfg.spill_dir,
+                                f"spill_runids_{len(self.groups)}.bin")
+            np.asarray(run_ids).tofile(path)
+            grp["run_ids"] = path
+            uniq = [np.asarray(wd[:uq])[:n_valid] for wd in uwords]
+            uw_np = np.asarray(uwt[:uq])[:n_valid]
+            self._bucket_append(uniq, uw_np, len(self.groups))
         self.groups.append(grp)
         log.info("spill chunk %d aggregated: %d windows -> %d unique "
                  "runs (%.1fx), store=%s", len(self.groups), n_win,
                  max(1, n_valid), n_win / max(1, n_valid), store)
 
+    def _bucket_append(self, uniq: List[np.ndarray], uw: np.ndarray,
+                       chunk_id: int) -> None:
+        """Append this chunk's unique runs to the key-hash bucket files
+        as (key words..., w, chunk, run_id) int32 rows."""
+        nv = uw.shape[0]
+        if nv == 0:
+            return
+        if self.nw == 1:
+            hv = uniq[0].astype(np.uint32)
+        else:
+            hv = uniq[0] ^ (uniq[1] * np.uint32(2654435761))
+        b = ((hv * np.uint32(2654435761)) >> np.uint32(26)).astype(np.int64)
+        runs = np.arange(nv, dtype=np.int32)
+        cols = [w.view(np.int32) if w.dtype == np.uint32 else
+                w.astype(np.int32) for w in uniq]
+        cols += [uw.astype(np.int32),
+                 np.full(nv, chunk_id, np.int32), runs]
+        rows = np.column_stack(cols)
+        for bi in np.unique(b):
+            with open(self._bucket_paths[bi], "ab") as f:
+                rows[b == bi].tofile(f)
+
     # ---- phase B ---------------------------------------------------------
+
+    def _finalize_disk(self) -> None:
+        """Flat-RSS phase B: one bucket in memory at a time; bins
+        scatter into per-chunk memmapped run->bin tables."""
+        fe = self.fe
+        cap = fe._sortjoin_window_cap()
+        ncols = self.nw + 3
+        tables = []
+        for i, g in enumerate(self.groups):
+            T = max(128, _pow2_ceil(max(1, g["n_runs"])))
+            path = os.path.join(fe.cfg.spill_dir, f"spill_table_{i}.npy")
+            mm = np.lib.format.open_memmap(path, mode="w+",
+                                           dtype=np.int32, shape=(T,))
+            mm[:] = -1
+            tables.append(mm)
+            g["bins_table"] = path
+        sizes = [os.path.getsize(p) // (4 * ncols)
+                 for p in self._bucket_paths]
+        pad_n = fe._sortjoin_pad_size(max(1, min(cap, max(sizes, default=1))))
+        for bi, p in enumerate(self._bucket_paths):
+            if sizes[bi] == 0:
+                continue
+            rows = np.fromfile(p, np.int32).reshape(-1, ncols)
+            if self.nw == 1:
+                words = [rows[:, 0]]
+            else:
+                words = [rows[:, 0].view(np.uint32),
+                         rows[:, 1].view(np.uint32)]
+            w = rows[:, self.nw]
+            chunks = rows[:, self.nw + 1]
+            runs = rows[:, self.nw + 2]
+            E_b = rows.shape[0]
+            if E_b > cap:
+                bins = fe._chunked_sortjoin_bins(
+                    [tuple(words) + (w,)], weighted=True)
+            else:
+                pad = fe._sortjoin_pad_tuple(pad_n - E_b, weighted=True)
+                dev = tuple(jnp.asarray(np.concatenate([c, np.asarray(pw)]))
+                            for c, pw in zip(words + [w], pad))
+                bins = np.asarray(fe._sortjoin_bins_dispatch(
+                    dev, row_windows=None, weighted=True))[:E_b]
+            for c in np.unique(chunks):
+                m = chunks == c
+                tables[c][runs[m]] = bins[m]
+            del rows
+            log.info("disk spill: bucket %d/%d joined (%d entries)",
+                     bi + 1, self.n_buckets, E_b)
+        for mm in tables:
+            mm.flush()
+        del tables
 
     def finalize_bins(self) -> None:
         """Join all chunks' unique (key, weight) entries; build one
@@ -268,6 +355,9 @@ class _SpillAgg:
         host/disk chunks upload their exact n_valid prefix."""
         fe = self.fe
         groups = self.groups
+        if self.store == "disk":
+            self._finalize_disk()
+            return
 
         def n_entries(g):
             return g["uq"] if "uniq_dev" in g else len(g["uw"])
@@ -356,18 +446,27 @@ class _SpillAgg:
             rid = jnp.asarray(np.fromfile(rid, dtype=np.int32))
         elif isinstance(rid, np.ndarray):
             rid = jnp.asarray(rid)
-        table = jnp.asarray(grp["bins_table"])
+        table = grp["bins_table"]
+        if isinstance(table, str):
+            table = np.load(table)
+        table = jnp.asarray(table)
         self._cur_bins = map_run_bins(table, rid)
         self._cur_g = g
 
     def cleanup(self) -> None:
         if self.fe.cfg.spill_dir:
             for g in self.groups:
-                if isinstance(g.get("run_ids"), str):
-                    try:
-                        os.remove(g["run_ids"])
-                    except OSError:
-                        pass
+                for key in ("run_ids", "bins_table"):
+                    if isinstance(g.get(key), str):
+                        try:
+                            os.remove(g[key])
+                        except OSError:
+                            pass
+            for p in getattr(self, "_bucket_paths", []):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 class SortJoinOverflow(RuntimeError):

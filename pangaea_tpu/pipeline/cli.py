@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="latent-matrix elements below which step-3 "
                         "clustering runs on the host CPU backend "
                         "(tunneled-TPU round trips dominate tiny fits)")
+    p.add_argument("--spill_store",
+                   choices=("auto", "device", "host", "disk"),
+                   default="auto",
+                   help="where past-the-cap spill run-ids live "
+                        "(config.FeatureConfig.spill_store)")
+    p.add_argument("--spill_dir", default=None,
+                   help="directory for disk-backed spill files "
+                        "(flat host RSS; implies spill_store=disk "
+                        "under 'auto')")
     p.add_argument("-m", "--metaphlan_db", type=str, default="")
     p.add_argument("-t", "--threads", type=int, default=0)
     p.add_argument("-sp", "--spades", type=str, default="")
@@ -73,7 +82,9 @@ def config_from_args(args: argparse.Namespace) -> PangaeaConfig:
         feature=FeatureConfig(
             kmer=args.kmer, tnf_kmer=args.tnf_kmer,
             window_size=args.window_size, vector_size=args.vector_size,
-            min_length=args.min_length),
+            min_length=args.min_length,
+            spill_store=getattr(args, "spill_store", "auto"),
+            spill_dir=getattr(args, "spill_dir", None)),
         model=ModelConfig(
             latent_dim=args.latent_dim, lr=args.lr,
             weight_decay=args.weight_decay, epochs=args.epochs,

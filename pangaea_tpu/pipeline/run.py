@@ -220,4 +220,10 @@ class Pipeline:
                     _retry_transient(self.step4_assemble,
                                      "step 4 (assembly)")
         timer.dump(os.path.join(cfg.output, "metrics.json"))
+        try:
+            import resource
+            log.info("peak RSS: %.2f GiB", resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / (1 << 20))
+        except Exception:
+            pass
         log.info("program finished successfully")

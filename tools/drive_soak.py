@@ -81,6 +81,9 @@ def main():
     ap.add_argument("--out", default="/tmp/soak")
     ap.add_argument("--reads", type=int, default=2_500_000)
     ap.add_argument("--steps", default="0,1,2,3,4")
+    ap.add_argument("--spill-dir", default="",
+                    help="forward to the CLI: disk-backed spill "
+                         "(flat host RSS)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     logp = os.path.join(args.out, "soak.log")
@@ -103,17 +106,21 @@ def main():
                 pairs_per_barcode=40, read_len=150, error_rate=0.005,
                 low_qual_rate=0.15, seed=31)
             os.replace(srt + ".tmp", srt)
-        # pair-block shuffle (plenty of RAM on this box)
-        with open(srt) as f:
-            lines = f.read().splitlines()
-        blocks = ["\n".join(lines[i:i + 8])
-                  for i in range(0, len(lines), 8)]
-        del lines
+        # pair-block shuffle, bytes-based (one small object per pair —
+        # the old splitlines list held every LINE as a str and tripled
+        # RSS at the 10M-read scale)
+        blocks = []
+        with open(srt, "rb") as f:
+            while True:
+                b = b"".join(f.readline() for _ in range(8))
+                if not b:
+                    break
+                blocks.append(b)
         rng = np.random.RandomState(7)
         rng.shuffle(blocks)
-        with open(raw + ".tmp", "w") as f:
+        with open(raw + ".tmp", "wb") as f:
             for b in blocks:
-                f.write(b + "\n")
+                f.write(b)
         os.replace(raw + ".tmp", raw)
         os.unlink(srt)
         results["sim"] = {"wall": round(time.time() - t0, 1)}
@@ -137,6 +144,8 @@ def main():
             continue
         argv = [sys.executable, "-m", "pangaea_tpu.pipeline.cli",
                 "-i", sorted_fq, "-o", rundir, "-c", "10", "-st", st]
+        if args.spill_dir:
+            argv += ["--spill_dir", args.spill_dir]
         wall, rss, att = run_unit(argv, f"step{st}", logp,
                                   timeout_s=4 * 3600)
         results[f"step{st}"] = {"wall": round(wall, 1),
