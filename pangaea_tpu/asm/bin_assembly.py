@@ -51,17 +51,41 @@ def _assemble_bins_external(runner: ToolRunner, fqs: List[str],
     return outs
 
 
-def _assemble_bins_builtin(fqs: List[str]) -> List[str]:
+def _assemble_one_builtin(args) -> int:
+    """Process-pool worker: assemble one bin (module-level for pickle)."""
+    fq, fa = args
     from pangaea_tpu.asm.naive import assemble_fastq
+    tmp = fa + ".tmp"
+    n = assemble_fastq(fq, tmp)
+    os.replace(tmp, fa)
+    return n
+
+
+def _assemble_bins_builtin(fqs: List[str]) -> List[str]:
+    from concurrent.futures import ProcessPoolExecutor
     outs = []
+    jobs = []
     for fq in fqs:
         outdir = fq[:-3] + ".megahit"
         os.makedirs(outdir, exist_ok=True)
         fa = os.path.join(outdir, "final.contigs.fa")
-        if not os.path.isfile(fa):
-            n = assemble_fastq(fq, fa)
-            log.info("builtin assembler: %s -> %d contigs", fq, n)
         outs.append(fa)
+        if not os.path.isfile(fa):
+            jobs.append((fq, fa))
+    if jobs:
+        # the vectorized assembler is numpy-bound; two worker PROCESSES
+        # use both host cores (threads would share the GIL'd walk).
+        # write-then-rename keeps the resume check crash-safe.
+        workers = min(2, os.cpu_count() or 1, len(jobs))
+        if workers > 1:
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                for (fq, _), n in zip(jobs,
+                                      ex.map(_assemble_one_builtin, jobs)):
+                    log.info("builtin assembler: %s -> %d contigs", fq, n)
+        else:
+            for job in jobs:
+                log.info("builtin assembler: %s -> %d contigs", job[0],
+                         _assemble_one_builtin(job))
     return outs
 
 

@@ -182,9 +182,28 @@ def map_pairs_to_bam(mapper: KmerMapper, pair_iter, bam_path: str,
         if not batch:
             return
         seqs = []
+        quals = []
         for name, s1, q1, s2, q2 in batch:
             seqs += [s1, s2]
+            quals += [q1, q2]
         best, votes, nvalid = mapper.map_reads(seqs)
+        # bulk seq/qual encode: when the batch is uniform-length (the
+        # normal short-read case) the nt16 nibble packing and phred
+        # offset run as ONE numpy pass over the whole batch and
+        # BamWriter.write receives ready slices
+        seq_b = qual_b = None
+        L = len(seqs[0])
+        if L % 2 == 0 and all(len(s) == L for s in seqs):
+            from pangaea_tpu.io.bam import _NT16_LUT
+            nib = _NT16_LUT[np.frombuffer("".join(seqs).encode("ascii"),
+                                          np.uint8)].reshape(-1, L)
+            packed = ((nib[:, 0::2] << 4) | nib[:, 1::2]).tobytes()
+            half = L // 2
+            seq_b = [packed[i * half:(i + 1) * half]
+                     for i in range(len(seqs))]
+            qraw = (np.frombuffer("".join(quals).encode("ascii"),
+                                  np.uint8) - np.uint8(33)).tobytes()
+            qual_b = [qraw[i * L:(i + 1) * L] for i in range(len(quals))]
         for j, (name, s1, q1, s2, q2) in enumerate(batch):
             for mate, (seq, qual) in enumerate(((s1, q1), (s2, q2))):
                 i = 2 * j + mate
@@ -202,7 +221,10 @@ def map_pairs_to_bam(mapper: KmerMapper, pair_iter, bam_path: str,
                 else:
                     rec = BamRecord(name, flag | FUNMAP, -1, -1, 0, [],
                                     seq, qual, {})
-                writer.write(rec)
+                writer.write(rec,
+                             seq_bytes=None if seq_b is None else seq_b[i],
+                             qual_bytes=None if qual_b is None
+                             else qual_b[i])
         batch.clear()
 
     for pair in pair_iter:

@@ -248,7 +248,12 @@ class BamWriter:
     # ballooned RSS and serialized all BGZF work at the end
     _FLUSH_BYTES = 8 << 20
 
-    def write(self, rec: BamRecord) -> None:
+    def write(self, rec: BamRecord,
+              seq_bytes: Optional[bytes] = None,
+              qual_bytes: Optional[bytes] = None) -> None:
+        """``seq_bytes``/``qual_bytes``: pre-encoded nt16-packed seq and
+        raw phred payloads (bulk callers like the mapper's flush encode
+        a whole batch in one numpy pass and hand slices in)."""
         qname = rec.qname.encode() + b"\x00"
         body = struct.pack(
             "<iiBBHHHiiii", rec.tid, rec.pos, len(qname), rec.mapq, 0,
@@ -260,11 +265,17 @@ class BamWriter:
         # vectorized nt16 nibble packing + qual offset: the per-char
         # Python loops were the top cost of the 2.5M-read soak's mapback
         # (30M str.index calls; tottime ~12 s per 100k pairs)
-        nib = _NT16_LUT[np.frombuffer(rec.seq.encode("ascii"), np.uint8)]
-        if nib.shape[0] % 2:
-            nib = np.concatenate([nib, np.zeros(1, np.uint8)])
-        body += ((nib[0::2] << 4) | nib[1::2]).tobytes()
-        if rec.qual:
+        if seq_bytes is not None:
+            body += seq_bytes
+        else:
+            nib = _NT16_LUT[np.frombuffer(rec.seq.encode("ascii"),
+                                          np.uint8)]
+            if nib.shape[0] % 2:
+                nib = np.concatenate([nib, np.zeros(1, np.uint8)])
+            body += ((nib[0::2] << 4) | nib[1::2]).tobytes()
+        if qual_bytes is not None:
+            body += qual_bytes
+        elif rec.qual:
             body += (np.frombuffer(rec.qual.encode("ascii"), np.uint8)
                      - np.uint8(33)).tobytes()
         else:
