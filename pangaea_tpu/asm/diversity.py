@@ -152,13 +152,12 @@ def metaphlan_shannon(reads: str, db_path: str, workdir: str,
 # The pipeline itself only ever invokes alpha/shannon
 # (calculate_diversity.sh:64), but the reference ships the full script
 # surface (calculate_diversity.R:38-263); these are formula-level ports
-# of every metric that does not require a user-supplied phylogeny.
-# weighted/unweighted unifrac need `-t` (an ape tree the pipeline never
-# provides) and are deliberately NOT ported. All functions take
-# per-taxon abundance vectors/columns AFTER the separator row filter
-# (see shannon_from_profile) — the /100 rescale cancels everywhere
-# except clr, where it shifts every component equally and cancels in
-# the aitchison distance.
+# of every metric, including the unifrac pair (which needs the `-t`
+# phylogeny the pipeline itself never supplies — see `unifrac` below).
+# All functions take per-taxon abundance vectors/columns AFTER the
+# separator row filter (see shannon_from_profile) — the /100 rescale
+# cancels everywhere except clr, where it shifts every component
+# equally and cancels in the aitchison distance.
 
 def alpha_diversity(abunds, metric: str = "shannon") -> float:
     """microbiome::alpha on one sample column (calculate_diversity.R:
@@ -187,7 +186,8 @@ def beta_diversity(col_a, col_b, metric: str = "bray-curtis") -> float:
     """rbiom::beta.div between two sample columns over the same taxon
     rows (calculate_diversity.R:161-236): bray-curtis (weighted),
     jaccard (unweighted presence/absence), aitchison (euclidean over
-    clr-transformed columns)."""
+    clr-transformed columns). The tree-backed unifrac pair lives in
+    `unifrac` (it additionally needs the phylogeny and row names)."""
     if metric == "bray-curtis":
         num = sum(abs(a - b) for a, b in zip(col_a, col_b))
         den = sum(a + b for a, b in zip(col_a, col_b))
@@ -200,6 +200,185 @@ def beta_diversity(col_a, col_b, metric: str = "bray-curtis") -> float:
         ca, cb = clr_transform(col_a), clr_transform(col_b)
         return math.sqrt(sum((a - b) ** 2 for a, b in zip(ca, cb)))
     raise ValueError(f"unknown beta metric '{metric}'")
+
+
+# ---- unifrac (calculate_diversity.R:173-222) ------------------------------
+#
+# The R script reads the MetaPhlAn species tree with ape::read.tree,
+# drops profile species absent from the tree (logged), prunes the tree
+# to the surviving species with ape::keep.tip, and hands the pruned
+# tree + filtered table to rbiom::beta.div(method="unifrac"). The port
+# below replicates each stage:
+#   * `NewickNode`/`read_newick`  — ape::read.tree's data (topology,
+#     tip labels, branch lengths; unresolved lengths -> None).
+#   * `keep_tip`                  — ape::keep.tip semantics: prune to
+#     the kept tips' induced subtree rooted at their MRCA, collapsing
+#     single-child chains by SUMMING branch lengths and DISCARDING any
+#     edge above the MRCA (collapse.singles root.edge=FALSE default).
+#   * `unifrac`                   — rbiom::beta.div unifrac: per edge b
+#     with length L_b and tip-descendant abundance fraction p(b) =
+#     (sum of the sample's abundance under b) / (sample total),
+#     weighted   d = sum_b L_b * |p_A(b) - p_B(b)|   (non-normalized),
+#     unweighted d = sum_{b: presence differs} L_b
+#                    / sum_{b: present in either} L_b.
+# keep_tip is value-relevant for UNWEIGHTED unifrac: edges above the
+# MRCA (present in both samples by construction) would otherwise
+# inflate the shared-branch denominator.
+
+
+class NewickNode:
+    """One node of an ape-style rooted tree (tips carry names)."""
+
+    __slots__ = ("name", "length", "children")
+
+    def __init__(self, name: str = "", length=None, children=None):
+        self.name = name
+        self.length = length
+        self.children = children or []
+
+    def tip_labels(self) -> List[str]:
+        if not self.children:
+            return [self.name]
+        out: List[str] = []
+        for c in self.children:
+            out.extend(c.tip_labels())
+        return out
+
+
+def read_newick(text: str) -> NewickNode:
+    """Parse one Newick tree (ape::read.tree on the MetaPhlAn species
+    tree, calculate_diversity.R:175). Supports nested clades, tip and
+    internal labels, branch lengths, and quoted labels; returns the
+    root. Raises ValueError on malformed input."""
+    s = text.strip()
+    if s.endswith(";"):
+        s = s[:-1]
+    pos = 0
+
+    def parse_label() -> str:
+        nonlocal pos
+        if pos < len(s) and s[pos] == "'":
+            end = s.index("'", pos + 1)
+            label = s[pos + 1:end]
+            pos = end + 1
+            return label
+        start = pos
+        while pos < len(s) and s[pos] not in "(),:;":
+            pos += 1
+        return s[start:pos].strip()
+
+    def parse_node() -> NewickNode:
+        nonlocal pos
+        node = NewickNode()
+        if pos < len(s) and s[pos] == "(":
+            pos += 1
+            while True:
+                node.children.append(parse_node())
+                if pos >= len(s):
+                    raise ValueError("unbalanced parentheses in newick")
+                if s[pos] == ",":
+                    pos += 1
+                    continue
+                if s[pos] == ")":
+                    pos += 1
+                    break
+                raise ValueError(f"unexpected '{s[pos]}' at {pos}")
+        node.name = parse_label()
+        if pos < len(s) and s[pos] == ":":
+            pos += 1
+            node.length = float(parse_label())
+        return node
+
+    root = parse_node()
+    if pos != len(s):
+        raise ValueError(f"trailing newick content at {pos}: '{s[pos:]}'")
+    return root
+
+
+def keep_tip(root: NewickNode, keep) -> NewickNode:
+    """ape::keep.tip(tree, tips) (calculate_diversity.R:191): the
+    subtree induced on `keep`, rooted at those tips' MRCA. Single-child
+    chains collapse with branch lengths summed (collapse.singles); the
+    edge above the MRCA is discarded (root.edge=FALSE default), so the
+    returned root has length None. Raises ValueError if < 2 kept tips
+    (ape errors on < 2 as well)."""
+    keep = set(keep)
+
+    def prune(node: NewickNode):
+        if not node.children:
+            if node.name in keep:
+                return NewickNode(node.name, node.length)
+            return None
+        kept = [p for p in (prune(c) for c in node.children) if p]
+        if not kept:
+            return None
+        if len(kept) == 1:
+            child = kept[0]
+            if node.length is not None:
+                child.length = (child.length or 0.0) + node.length
+            return child
+        return NewickNode(node.name, node.length, kept)
+
+    pruned = prune(root)
+    if pruned is None or not pruned.children:
+        raise ValueError("keep.tip: fewer than 2 tips retained")
+    pruned.length = None
+    return pruned
+
+
+def unifrac(rows: List[str], col_a, col_b, tree: NewickNode,
+            weighted: bool) -> float:
+    """rbiom::beta.div(..., tree, method="unifrac", weighted=...)
+    between two sample columns (calculate_diversity.R:215-220),
+    including the R script's preceding filters: species absent from the
+    tree are dropped from the table (:181-192, the *_species.log set)
+    and the tree is pruned to the survivors via `keep_tip`. Sample
+    totals are the COLUMN SUMS OF THE FILTERED TABLE (rbiom normalizes
+    within the table it is handed). A sample whose filtered column sums
+    to zero is removed by the R script before the distance (:195-213);
+    here that is surfaced as a ValueError since a pairwise distance
+    with a removed sample does not exist. Edges with no length in the
+    newick count as length 0."""
+    tips = set(tree.tip_labels())
+    kept_idx = [i for i, r in enumerate(rows) if r in tips]
+    if not kept_idx:
+        raise ValueError("unifrac: no profile species present in the tree")
+    table = {rows[i]: (float(col_a[i]), float(col_b[i])) for i in kept_idx}
+    pruned = keep_tip(tree, [rows[i] for i in kept_idx])
+    tot_a = sum(a for a, _ in table.values())
+    tot_b = sum(b for _, b in table.values())
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError(
+            "unifrac: a sample has zero abundance over the tree species "
+            "(the R script removes such samples before the distance)")
+
+    shared = diff = union = dist = 0.0
+
+    def walk(node: NewickNode):
+        nonlocal shared, diff, union, dist
+        if not node.children:
+            a, b = table[node.name]
+        else:
+            a = b = 0.0
+            for c in node.children:
+                ca, cb = walk(c)
+                a += ca
+                b += cb
+        if node is not pruned:
+            length = node.length or 0.0
+            dist += length * abs(a / tot_a - b / tot_b)
+            if (a > 0) != (b > 0):
+                diff += length
+            if a > 0 or b > 0:
+                union += length
+            if a > 0 and b > 0:
+                shared += length
+        return a, b
+
+    walk(pruned)
+    if weighted:
+        return dist
+    return diff / union if union else 0.0
 
 
 def clr_transform(col) -> List[float]:

@@ -212,3 +212,175 @@ def test_beta_metrics_match_formula_oracles():
     out = clr_transform([1.0, 0.0, 2.0])
     assert math.isinf(out[0]) and out[0] > 0
     assert math.isnan(out[1])
+
+
+# ---- unifrac (calculate_diversity.R:173-222) ------------------------------
+
+
+def test_newick_parser_roundtrip_semantics():
+    from pangaea_tpu.asm.diversity import read_newick
+    t = read_newick("((A:1,B:2)ab:0.5,(C:3,'D d':1):0.25)root;")
+    assert sorted(t.tip_labels()) == ["A", "B", "C", "D d"]
+    ab = t.children[0]
+    assert ab.name == "ab" and ab.length == 0.5
+    assert t.name == "root" and t.length is None
+    assert [c.length for c in ab.children] == [1.0, 2.0]
+    with pytest.raises(ValueError):
+        read_newick("((A:1,B:2;")
+
+
+def test_unifrac_hand_computed_fixture():
+    """Branch-by-branch hand computation on a 4-tip tree.
+
+    Edges: A:1 B:2 (AB):0.5 C:3 D:1 (CD):0.25. X=[10,0,5,5],
+    Y=[0,10,10,0] (totals 20 each). Weighted: 1*.5 + 2*.5 + 0 + 3*.25
+    + 1*.25 + 0 = 2.5. Unweighted: presence differs on A,B,D
+    (1+2+1=4); union = all 7.75."""
+    from pangaea_tpu.asm.diversity import read_newick, unifrac
+    tree = read_newick("((A:1,B:2):0.5,(C:3,D:1):0.25);")
+    rows = ["A", "B", "C", "D"]
+    x = [10.0, 0.0, 5.0, 5.0]
+    y = [0.0, 10.0, 10.0, 0.0]
+    assert math.isclose(unifrac(rows, x, y, tree, weighted=True), 2.5,
+                        abs_tol=1e-12)
+    assert math.isclose(unifrac(rows, x, y, tree, weighted=False),
+                        4.0 / 7.75, abs_tol=1e-12)
+
+
+def test_keep_tip_collapses_singles_and_reroots_at_mrca():
+    """ape::keep.tip semantics: dropped tips collapse their parent
+    chain with branch lengths SUMMED; edges above the kept tips' MRCA
+    are discarded (collapse.singles root.edge=FALSE)."""
+    from pangaea_tpu.asm.diversity import keep_tip, read_newick, unifrac
+    # E and F pruned: (A:1 under :2) -> A:3; (C:3 under :1) -> C:4
+    tree = read_newick("(((A:1,E:4):2,B:2):0.5,(C:3,F:7):1);")
+    rows = ["A", "B", "C"]
+    x = [1.0, 1.0, 2.0]
+    y = [0.0, 2.0, 2.0]
+    # edges after keep.tip: A:3 B:2 (AB):0.5 C:4
+    # weighted: 3*|.25-0| + 2*|.25-.5| + .5*0 + 4*0 = 1.25
+    # unweighted: differs only on A (3) / union 9.5
+    assert math.isclose(unifrac(rows, x, y, tree, weighted=True), 1.25,
+                        abs_tol=1e-12)
+    assert math.isclose(unifrac(rows, x, y, tree, weighted=False),
+                        3.0 / 9.5, abs_tol=1e-12)
+    # keeping one clade re-roots at its MRCA: the 0.5 edge above the
+    # (A,B) ancestor must vanish from the union denominator
+    pruned = keep_tip(read_newick("((A:1,B:2):0.5,C:3);"), ["A", "B"])
+    assert pruned.length is None
+    assert sorted(pruned.tip_labels()) == ["A", "B"]
+    t2 = read_newick("((A:1,B:2):0.5,C:3);")
+    assert math.isclose(
+        unifrac(["A", "B"], [1.0, 0.0], [0.0, 1.0], t2, weighted=False),
+        1.0, abs_tol=1e-12)
+    assert math.isclose(
+        unifrac(["A", "B"], [1.0, 0.0], [0.0, 1.0], t2, weighted=True),
+        3.0, abs_tol=1e-12)
+
+
+def test_unifrac_star_tree_degenerates_to_l1_and_weighted_jaccard():
+    """On a star tree, weighted unifrac IS the L1 distance of the
+    normalized columns, and unweighted unifrac IS branch-length-
+    weighted presence mismatch over the union — independent closed
+    forms that pin the edge accumulation."""
+    from pangaea_tpu.asm.diversity import read_newick, unifrac
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        n = rng.randint(3, 9)
+        rows = [f"S{i}" for i in range(n)]
+        lens = rng.rand(n) * 5 + 0.1
+        tree = read_newick(
+            "(" + ",".join(f"{r}:{l}" for r, l in zip(rows, lens)) + ");")
+        a = rng.rand(n) * 10 * (rng.rand(n) > 0.3)
+        b = rng.rand(n) * 10 * (rng.rand(n) > 0.3)
+        if a.sum() == 0 or b.sum() == 0:
+            continue
+        w = unifrac(rows, a, b, tree, weighted=True)
+        assert math.isclose(
+            w, float(np.abs(a / a.sum() - b / b.sum()) @ lens),
+            rel_tol=1e-12)
+        differ = float(lens @ ((a > 0) != (b > 0)))
+        either = float(lens @ ((a > 0) | (b > 0)))
+        u = unifrac(rows, a, b, tree, weighted=False)
+        assert math.isclose(u, differ / either, rel_tol=1e-12)
+
+
+def test_unifrac_random_sweep_vs_leafset_oracle():
+    """Random binary trees + abundance columns (with zeros and species
+    missing from the tree) against an independent edge-enumeration
+    oracle that materializes every edge's descendant leaf set."""
+    from pangaea_tpu.asm.diversity import keep_tip, read_newick, unifrac
+
+    def rand_tree(rng, labels):
+        if len(labels) == 1:
+            return f"{labels[0]}:{rng.rand() * 4 + 0.05:.4f}"
+        k = rng.randint(1, len(labels))
+        left = rand_tree(rng, labels[:k])
+        right = rand_tree(rng, labels[k:])
+        return f"({left},{right}):{rng.rand() * 4 + 0.05:.4f}"
+
+    def oracle(rows, ca, cb, tree, weighted):
+        tips = set(tree.tip_labels())
+        kept = [r for r in rows if r in tips]
+        pruned = keep_tip(tree, kept)
+        abund = {r: (a, b) for r, a, b in zip(rows, ca, cb) if r in tips}
+        edges = []
+
+        def collect(n):
+            for c in n.children:
+                edges.append((frozenset(c.tip_labels()), c.length or 0.0))
+                collect(c)
+
+        collect(pruned)
+        ta = sum(a for a, _ in abund.values())
+        tb = sum(b for _, b in abund.values())
+        if weighted:
+            return sum(
+                l * abs(sum(abund[r][0] for r in s) / ta
+                        - sum(abund[r][1] for r in s) / tb)
+                for s, l in edges)
+        num = sum(l for s, l in edges
+                  if (sum(abund[r][0] for r in s) > 0)
+                  != (sum(abund[r][1] for r in s) > 0))
+        den = sum(l for s, l in edges
+                  if sum(abund[r][0] for r in s) > 0
+                  or sum(abund[r][1] for r in s) > 0)
+        return num / den if den else 0.0
+
+    rng = np.random.RandomState(23)
+    for trial in range(25):
+        n = rng.randint(4, 14)
+        labels = [f"T{i}" for i in range(n)]
+        tree_text = "(" + rand_tree(rng, labels[: n // 2]) + "," + \
+            rand_tree(rng, labels[n // 2:]) + ");"
+        tree = read_newick(tree_text)
+        # table rows: a subset of tree tips plus some species the tree
+        # lacks (the R script's *_species.log removal set)
+        rows = [l for l in labels if rng.rand() > 0.2] + ["X1", "X2"]
+        if sum(r in labels for r in rows) < 2:
+            continue
+        a = rng.rand(len(rows)) * 10 * (rng.rand(len(rows)) > 0.3)
+        b = rng.rand(len(rows)) * 10 * (rng.rand(len(rows)) > 0.3)
+        in_tree = [i for i, r in enumerate(rows) if r in labels]
+        if (sum(a[i] for i in in_tree) == 0
+                or sum(b[i] for i in in_tree) == 0):
+            continue
+        for weighted in (True, False):
+            got = unifrac(rows, a, b, tree, weighted)
+            want = oracle(rows, a, b, read_newick(tree_text), weighted)
+            assert math.isclose(got, want, rel_tol=1e-10), \
+                (trial, weighted, got, want)
+
+
+def test_unifrac_error_surface_matches_r_removals():
+    """Zero-sum samples and all-missing profiles are removed/errored by
+    the R script before the distance exists; the port surfaces both."""
+    from pangaea_tpu.asm.diversity import keep_tip, read_newick, unifrac
+    tree = read_newick("((A:1,B:2):0.5,C:3);")
+    with pytest.raises(ValueError):
+        unifrac(["A", "B", "C"], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                tree, weighted=True)
+    with pytest.raises(ValueError):
+        unifrac(["Q", "R"], [1.0, 1.0], [1.0, 1.0], tree, weighted=True)
+    with pytest.raises(ValueError):
+        keep_tip(tree, ["A"])
