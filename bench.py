@@ -341,6 +341,8 @@ def run_driver_ours() -> dict:
         split["s2"] = round(time.time() - t1, 2)
         t1 = time.time()
         pipe.step3_cluster()
+        pipe.finish()  # join the deferred step-1 artifact write INSIDE
+        # the timed window (overlap removes dead time, not work)
         split["s3"] = round(time.time() - t1, 2)
         t_steps = time.time() - t0
         tsv = os.path.join(base, "run", "3.clustering", "clusters.tsv")

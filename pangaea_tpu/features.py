@@ -1508,11 +1508,29 @@ class FeatureExtractor:
         over half the e2e feature wall (tools/profile_e2e.py); this writes
         the identical decompressed bytes in ~0.3 s. Parity checks compare
         decompressed content, so the compression level is free choice."""
+        df = FeatureExtractor._make_frame(names, mat)
+        FeatureExtractor._write_frame_gz(df, path)
+
+    @staticmethod
+    def _make_frame(names: np.ndarray, mat: np.ndarray):
+        """DataFrame CONSTRUCTION stays on the caller's thread: pandas/
+        pyarrow string-array construction is not thread-safe in this
+        build (two threads building string-column frames segfault
+        intermittently); `to_csv` on an already-built frame is safe off
+        the main thread."""
         import pandas as pd
         df = pd.DataFrame(np.asarray(mat, dtype=np.int64))
         df.insert(0, "name", np.asarray(names))
-        with gzip.open(path, "wt", compresslevel=1) as f:
+        return df
+
+    @staticmethod
+    def _write_frame_gz(df, path: str) -> None:
+        # write-then-rename: a crash mid-write must not leave a partial
+        # .gz that the artifact-cache existence check would trust
+        tmp = path + ".tmp"
+        with gzip.open(tmp, "wt", compresslevel=1) as f:
             df.to_csv(f, header=False, index=False, lineterminator="\n")
+        os.replace(tmp, path)
 
     @staticmethod
     def _read_csv_gz(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -1587,8 +1605,17 @@ class FeatureExtractor:
         return names, abd, tnf
 
     def extract_features(self, reads1: str = "", reads2: str = "",
-                         interleaved: str = ""
+                         interleaved: str = "", defer_save: bool = False
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """``defer_save=True`` moves the artifact write (two gzip CSVs +
+        the ``feature_finished`` marker, ~1.1 s of pure host IO at the
+        800k-read bench geometry) onto a background thread so it
+        overlaps the next pipeline stage's tunnel-idle time. The marker
+        is only written AFTER both files land (resume stays correct: a
+        crash mid-save re-runs step 1), and the caller must invoke
+        :meth:`wait_save` before relying on the artifacts — the
+        pipeline joins at the end of its run, inside the measured
+        wall."""
         if os.path.exists(self.abd_gz) and os.path.exists(self.tnf_gz):
             log.info("features already extracted, loading")
             return self.load_features()
@@ -1611,10 +1638,33 @@ class FeatureExtractor:
             self._rl = None
             names, abd, tnf = self._extract_inner(reads1, reads2,
                                                   interleaved)
-        self._save(names, abd, tnf)
-        with open(self.marker, "w") as f:
-            f.write("feature finished")
+        if defer_save:
+            frames = [(self._make_frame(names, abd), self.abd_gz),
+                      (self._make_frame(names, tnf), self.tnf_gz)]
+
+            def _bg():
+                for df, path in frames:
+                    self._write_frame_gz(df, path)
+                with open(self.marker, "w") as f:
+                    f.write("feature finished")
+
+            import concurrent.futures
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            self._pending_save = pool.submit(_bg)
+            pool.shutdown(wait=False)
+        else:
+            self._save(names, abd, tnf)
+            with open(self.marker, "w") as f:
+                f.write("feature finished")
         return names, abd, tnf
+
+    def wait_save(self) -> None:
+        """Join a ``defer_save`` background write; re-raises its error
+        (the marker is then absent, so a re-run redoes step 1)."""
+        pending = getattr(self, "_pending_save", None)
+        if pending is not None:
+            self._pending_save = None
+            pending.result()
 
     def export_jellyfish_dump(self, table, path: str) -> int:
         """Write the global table as a jellyfish ``dump -c -t`` file

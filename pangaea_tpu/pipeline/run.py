@@ -81,14 +81,29 @@ class Pipeline:
 
     def step1_features(self):
         fe = FeatureExtractor(self.cfg.feature, self.feature_dir)
-        return fe.extract_features(self.cfg.reads1, self.cfg.reads2,
-                                   self.cfg.interleaved_reads)
+        out = fe.extract_features(self.cfg.reads1, self.cfg.reads2,
+                                  self.cfg.interleaved_reads,
+                                  defer_save=True)
+        self._fe_pending = fe
+        return out
+
+    def finish(self) -> None:
+        """Join deferred step-1 artifact IO (extract_features
+        defer_save) — overlapped behind steps 2/3, settled before the
+        pipeline reports success. Callers driving steps individually
+        (bench, tools) must call this before relying on the
+        1.features artifacts."""
+        fe = getattr(self, "_fe_pending", None)
+        if fe is not None:
+            self._fe_pending = None
+            fe.wait_save()
 
     # ---- step 2 -----------------------------------------------------------
 
     def step2_train(self, names=None, abd=None, tnf=None):
         from pangaea_tpu.model import BarcodeDataset, VAE, VAETrainer
         if names is None or abd is None or tnf is None:
+            self.finish()  # the disk load needs step 1's deferred write
             fe = FeatureExtractor(self.cfg.feature, self.feature_dir)
             names, abd, tnf = fe.load_features()
         os.makedirs(self.model_dir, exist_ok=True)
@@ -219,6 +234,7 @@ class Pipeline:
                 with timer.stage("step4_assemble"):
                     _retry_transient(self.step4_assemble,
                                      "step 4 (assembly)")
+            self.finish()
         timer.dump(os.path.join(cfg.output, "metrics.json"))
         try:
             import resource

@@ -250,3 +250,39 @@ def test_pack_transfers_extraction_equal(tmp_path, with_ns):
         outs[mode] = fe.extract_features(interleaved=fq)
     for a, b in zip(outs["on"], outs["off"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_defer_save_identical_artifacts_and_marker_order(tmp_path):
+    """extract_features(defer_save=True) must produce byte-identical
+    .gz artifacts (decompressed; gzip mtime headers differ) and only
+    write the feature_finished marker after both files land; the
+    pipeline joins via wait_save/Pipeline.finish."""
+    import gzip
+    import os
+    from pangaea_tpu.config import FeatureConfig
+    from pangaea_tpu.features import FeatureExtractor
+    from pangaea_tpu.io.sim import simulate_linked_reads
+
+    fq = str(tmp_path / "sim.fq.gz")
+    simulate_linked_reads(out_interleaved=fq, n_species=2, genome_len=4000,
+                          n_barcodes=10, pairs_per_barcode=6, read_len=40,
+                          seed=9)
+    cfg = FeatureConfig(kmer=9, min_length=100, max_read_len=64,
+                        reads_per_batch=32, min_qual_char=None)
+    fe_sync = FeatureExtractor(cfg, str(tmp_path / "sync"))
+    fe_sync.extract_features(interleaved=fq)
+    fe_bg = FeatureExtractor(cfg, str(tmp_path / "bg"))
+    n, a, t = fe_bg.extract_features(interleaved=fq, defer_save=True)
+    fe_bg.wait_save()
+    assert os.path.exists(fe_bg.marker)
+    for attr in ("abd_gz", "tnf_gz"):
+        with gzip.open(getattr(fe_sync, attr)) as f1, \
+                gzip.open(getattr(fe_bg, attr)) as f2:
+            assert f1.read() == f2.read(), attr
+    # second call is the artifact-cache load path and must round-trip
+    n2, a2, t2 = fe_bg.extract_features(interleaved=fq)
+    assert n.tolist() == n2.tolist()
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(t, t2)
+    # wait_save is idempotent with nothing pending
+    fe_bg.wait_save()
