@@ -76,9 +76,15 @@ def _assemble_bins_builtin(fqs: List[str]) -> List[str]:
         # the vectorized assembler is numpy-bound; two worker PROCESSES
         # use both host cores (threads would share the GIL'd walk).
         # write-then-rename keeps the resume check crash-safe.
+        # spawn, not fork: in a full steps-1-4 driver run this process
+        # has live JAX/XLA runtime + tunnel gRPC threads, and fork()ing
+        # while one of those holds a lock can deadlock the child.
+        import multiprocessing
         workers = min(2, os.cpu_count() or 1, len(jobs))
         if workers > 1:
-            with ProcessPoolExecutor(max_workers=workers) as ex:
+            with ProcessPoolExecutor(
+                    max_workers=workers,
+                    mp_context=multiprocessing.get_context("spawn")) as ex:
                 for (fq, _), n in zip(jobs,
                                       ex.map(_assemble_one_builtin, jobs)):
                     log.info("builtin assembler: %s -> %d contigs", fq, n)

@@ -237,11 +237,16 @@ class NewickNode:
         self.children = children or []
 
     def tip_labels(self) -> List[str]:
-        if not self.children:
-            return [self.name]
+        # iterative: MetaPhlAn species trees have ladder regions deeper
+        # than Python's recursion limit
         out: List[str] = []
-        for c in self.children:
-            out.extend(c.tip_labels())
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if not node.children:
+                out.append(node.name)
+            else:
+                stack.extend(reversed(node.children))
         return out
 
 
@@ -249,49 +254,63 @@ def read_newick(text: str) -> NewickNode:
     """Parse one Newick tree (ape::read.tree on the MetaPhlAn species
     tree, calculate_diversity.R:175). Supports nested clades, tip and
     internal labels, branch lengths, and quoted labels; returns the
-    root. Raises ValueError on malformed input."""
+    root. Raises ValueError on malformed input. Iterative (explicit
+    stack): real species trees nest deeper than the recursion limit."""
     s = text.strip()
     if s.endswith(";"):
         s = s[:-1]
+    n = len(s)
     pos = 0
 
     def parse_label() -> str:
         nonlocal pos
-        if pos < len(s) and s[pos] == "'":
+        if pos < n and s[pos] == "'":
             end = s.index("'", pos + 1)
             label = s[pos + 1:end]
             pos = end + 1
             return label
         start = pos
-        while pos < len(s) and s[pos] not in "(),:;":
+        while pos < n and s[pos] not in "(),:;":
             pos += 1
         return s[start:pos].strip()
 
-    def parse_node() -> NewickNode:
+    def parse_suffix(node: NewickNode) -> None:
         nonlocal pos
-        node = NewickNode()
-        if pos < len(s) and s[pos] == "(":
-            pos += 1
-            while True:
-                node.children.append(parse_node())
-                if pos >= len(s):
-                    raise ValueError("unbalanced parentheses in newick")
-                if s[pos] == ",":
-                    pos += 1
-                    continue
-                if s[pos] == ")":
-                    pos += 1
-                    break
-                raise ValueError(f"unexpected '{s[pos]}' at {pos}")
         node.name = parse_label()
-        if pos < len(s) and s[pos] == ":":
+        if pos < n and s[pos] == ":":
             pos += 1
             node.length = float(parse_label())
-        return node
 
-    root = parse_node()
-    if pos != len(s):
-        raise ValueError(f"trailing newick content at {pos}: '{s[pos:]}'")
+    root = NewickNode()
+    stack: List[NewickNode] = []  # open internal nodes
+    cur = root
+    while True:
+        if pos < n and s[pos] == "(":
+            pos += 1
+            stack.append(cur)
+            child = NewickNode()
+            cur.children.append(child)
+            cur = child
+            continue
+        parse_suffix(cur)
+        if pos >= n:
+            break
+        ch = s[pos]
+        if ch == ",":
+            pos += 1
+            if not stack:
+                raise ValueError(f"',' outside parentheses at {pos}")
+            cur = NewickNode()
+            stack[-1].children.append(cur)
+        elif ch == ")":
+            pos += 1
+            if not stack:
+                raise ValueError(f"unbalanced ')' at {pos}")
+            cur = stack.pop()
+        else:
+            raise ValueError(f"unexpected '{ch}' at {pos}")
+    if stack:
+        raise ValueError("unbalanced parentheses in newick")
     return root
 
 
@@ -303,23 +322,31 @@ def keep_tip(root: NewickNode, keep) -> NewickNode:
     returned root has length None. Raises ValueError if < 2 kept tips
     (ape errors on < 2 as well)."""
     keep = set(keep)
-
-    def prune(node: NewickNode):
+    # iterative post-order (explicit stack; see read_newick on depth)
+    out = {}
+    stack = [(root, False)]
+    while stack:
+        node, expanded = stack.pop()
         if not node.children:
-            if node.name in keep:
-                return NewickNode(node.name, node.length)
-            return None
-        kept = [p for p in (prune(c) for c in node.children) if p]
+            out[id(node)] = (NewickNode(node.name, node.length)
+                             if node.name in keep else None)
+            continue
+        if not expanded:
+            stack.append((node, True))
+            stack.extend((c, False) for c in node.children)
+            continue
+        kept = [p for p in (out[id(c)] for c in node.children) if p]
         if not kept:
-            return None
-        if len(kept) == 1:
+            out[id(node)] = None
+        elif len(kept) == 1:
             child = kept[0]
             if node.length is not None:
                 child.length = (child.length or 0.0) + node.length
-            return child
-        return NewickNode(node.name, node.length, kept)
+            out[id(node)] = child
+        else:
+            out[id(node)] = NewickNode(node.name, node.length, kept)
 
-    pruned = prune(root)
+    pruned = out[id(root)]
     if pruned is None or not pruned.children:
         raise ValueError("keep.tip: fewer than 2 tips retained")
     pruned.length = None
@@ -352,18 +379,25 @@ def unifrac(rows: List[str], col_a, col_b, tree: NewickNode,
             "unifrac: a sample has zero abundance over the tree species "
             "(the R script removes such samples before the distance)")
 
-    shared = diff = union = dist = 0.0
-
-    def walk(node: NewickNode):
-        nonlocal shared, diff, union, dist
+    diff = union = dist = 0.0
+    # iterative post-order (see read_newick on depth)
+    sums = {}
+    stack = [(pruned, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if node.children and not expanded:
+            stack.append((node, True))
+            stack.extend((c, False) for c in node.children)
+            continue
         if not node.children:
             a, b = table[node.name]
         else:
             a = b = 0.0
             for c in node.children:
-                ca, cb = walk(c)
+                ca, cb = sums.pop(id(c))
                 a += ca
                 b += cb
+        sums[id(node)] = (a, b)
         if node is not pruned:
             length = node.length or 0.0
             dist += length * abs(a / tot_a - b / tot_b)
@@ -371,11 +405,6 @@ def unifrac(rows: List[str], col_a, col_b, tree: NewickNode,
                 diff += length
             if a > 0 or b > 0:
                 union += length
-            if a > 0 and b > 0:
-                shared += length
-        return a, b
-
-    walk(pruned)
     if weighted:
         return dist
     return diff / union if union else 0.0

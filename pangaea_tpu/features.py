@@ -862,11 +862,16 @@ class FeatureExtractor:
 
     def _spill_impl(self) -> str:
         """'agg' (device pre-aggregation) or 'raw' (r4 raw-key spill,
-        kept for A/B). PANGAEA_SPILL_IMPL overrides the config."""
+        kept for A/B). PANGAEA_SPILL_IMPL overrides the config — but
+        never the class opt-out: the sharded extractor's batches live
+        sharded over the mesh and _SpillAgg assumes single-device
+        arrays, so 'agg' there would dispatch with wrong placement."""
+        if not self._spill_aggregate:
+            return "raw"
         env = os.environ.get("PANGAEA_SPILL_IMPL")
         if env in ("raw", "agg"):
             return env
-        if self.cfg.spill_agg == "off" or not self._spill_aggregate:
+        if self.cfg.spill_agg == "off":
             return "raw"
         return "agg"
 

@@ -160,8 +160,11 @@ class VAETrainer:
         self.phase_times: Dict[str, float] = {}
         self.val_history = []  # (epoch, done_batches, val_loss) per eval
         # device-resident best (params, bn) of the last fused fit;
-        # dump_latent uses it to skip re-uploading the checkpoint
+        # dump_latent uses it to skip re-uploading the checkpoint —
+        # only when the caller passes the exact host tree that fit
+        # returned (_last_best_host identity check)
         self._last_best_dev = None
+        self._last_best_host = None
 
     # ---- jitted blocks ----------------------------------------------------
 
@@ -537,6 +540,7 @@ class VAETrainer:
             # them afterwards): dump_latent reuses them in place of a
             # host->device re-upload of the same values
             self._last_best_dev = (best_p, best_b)
+        self._last_best_host = best["params"]
         log.info("train phases (s): %s", {k: (round(v, 3) if k != "chunks"
                                               else v) for k, v in pt.items()})
         return best["params"], best["bn"]
@@ -650,10 +654,13 @@ class VAETrainer:
         if params is None:
             params, bn_state = load_params(
                 os.path.join(model_dir, "train_model.pk"))
-        elif self._last_best_dev is not None:
-            # the fit that just returned left its best (params, bn) on
-            # the device — embed from those buffers (identical values)
-            # instead of re-uploading the host checkpoint
+        elif (self._last_best_dev is not None
+              and params is self._last_best_host):
+            # the caller passed the exact tree the last fused fit
+            # returned, whose best (params, bn) are still live on the
+            # device — embed from those buffers (identical values)
+            # instead of re-uploading them. Any OTHER explicitly passed
+            # params (another checkpoint, a perturbed tree) must win.
             params, bn_state = self._last_best_dev
         rng = rng or np.random.RandomState(self.cfg.seed)
         n = len(dataset)

@@ -433,8 +433,13 @@ def test_kmer_mapper_nm_estimates_base_mismatches(tmp_path):
 # ---- naive assembler: vectorized impl == retained pure-Python oracle ----
 
 def _oracle_assemble_unitigs(seqs, k=31, min_len=100, min_count=None):
-    """The r1-r4 dict-of-strings implementation, retained verbatim as the
-    oracle the vectorized asm/naive.py must match bit-for-bit."""
+    """The r1-r4 dict-of-strings implementation, retained as the oracle
+    the vectorized asm/naive.py must match bit-for-bit — with one
+    normalization added in r5: EVERY non-ACGT byte (IUPAC ambiguity
+    codes included) breaks k-mers exactly like 'N', matching the
+    2-bit-domain contract of the vectorized path (whose _CODE_LUT maps
+    all non-ACGT bytes to invalid)."""
+    import re
     from pangaea_tpu.io.bam import revcomp
 
     def _kmers_of(seq, k):
@@ -446,6 +451,7 @@ def _oracle_assemble_unitigs(seqs, k=31, min_len=100, min_count=None):
     counts = {}
     total = 0
     for seq in seqs:
+        seq = re.sub("[^ACGT]", "N", seq.upper())
         for strand in (seq, revcomp(seq)):
             for km in _kmers_of(strand.upper(), k):
                 counts[km] = counts.get(km, 0) + 1
@@ -542,6 +548,10 @@ def test_naive_assembler_matches_string_oracle(k, err, circ):
                     r[j] = "ACGT"[rng.randint(4)]
                 if rng.rand() < 0.002:
                     r[j] = "N"
+                if rng.rand() < 0.001:
+                    # IUPAC ambiguity codes must break k-mers like 'N'
+                    # on both paths (2-bit-domain contract)
+                    r[j] = "RYSWKMBDHV"[rng.randint(10)]
             s = "".join(r)
             if rng.rand() < 0.1:
                 s = s.lower()

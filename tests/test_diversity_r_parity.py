@@ -384,3 +384,28 @@ def test_unifrac_error_surface_matches_r_removals():
         unifrac(["Q", "R"], [1.0, 1.0], [1.0, 1.0], tree, weighted=True)
     with pytest.raises(ValueError):
         keep_tip(tree, ["A"])
+
+
+def test_unifrac_deep_ladder_tree_beyond_recursion_limit():
+    """MetaPhlAn species trees nest far deeper than Python's recursion
+    limit; parser, keep.tip and the unifrac walk must be iterative."""
+    from pangaea_tpu.asm.diversity import read_newick, unifrac
+    depth = 5000
+    # pectinate ladder: (((...(T0:1,T1:1):1,T2:1):1,...,Tn:1);
+    text = "(T0:1,T1:1)"
+    for i in range(2, depth):
+        text = f"({text}:1,T{i}:1)"
+    tree = read_newick(text + ";")
+    rows = [f"T{i}" for i in range(depth)]
+    assert sorted(tree.tip_labels()) == sorted(rows)
+    a = [1.0] + [0.0] * (depth - 1)
+    b = [0.0] * (depth - 1) + [1.0]
+    # weighted: T0's tip edge (1) + every internal edge between T0 and
+    # the root (depth-2 edges of length 1, each |1-0|) + T_{n-1}'s tip
+    # edge = 1 + (depth-2) + 1
+    w = unifrac(rows, a, b, tree, weighted=True)
+    assert math.isclose(w, float(depth), abs_tol=1e-9)
+    u = unifrac(rows, a, b, tree, weighted=False)
+    # every edge carries exactly one of the two samples: union == all
+    # edges, differ == all edges
+    assert math.isclose(u, 1.0, abs_tol=1e-12)

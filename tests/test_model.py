@@ -332,3 +332,32 @@ def test_fused_fit_equals_stepwise(tmp_path, n, bsz, ev, epochs, patience):
     assert s["ckpt"] == f["ckpt"]
     sa, fa = s["rng_after"], f["rng_after"]
     assert sa[0] == fa[0] and (sa[1] == fa[1]).all() and sa[2:] == fa[2:]
+
+
+def test_dump_latent_honors_explicitly_passed_params(tmp_path):
+    """dump_latent's device fast-path must only engage when the caller
+    passes the exact tree fit() returned — any OTHER explicit params
+    (another checkpoint, a perturbed tree) must be embedded as given,
+    not silently replaced by the last fit's device-resident best."""
+    import jax
+    ds, _ = make_synth_dataset()
+    model = make_model()
+    cfg = ModelConfig(epochs=3, batch_size=128, patience=50,
+                      eval_every_batches=4, lr=0.005)
+    trainer = VAETrainer(model, cfg)
+    for d in ("a", "b", "c"):
+        (tmp_path / d).mkdir()
+    params, bn = trainer.fit(ds, str(tmp_path / "fit"), jax_seed=0)
+    mu_fit, _ = trainer.dump_latent(ds, str(tmp_path / "a"), params, bn)
+    # a deliberately different tree: all-zero params embed differently
+    zeros = jax.tree_util.tree_map(lambda x: np.zeros_like(x), params)
+    mu_zero, _ = trainer.dump_latent(ds, str(tmp_path / "b"), zeros, bn)
+    assert not np.allclose(mu_fit, mu_zero), \
+        "explicit params were ignored in favor of the device-resident best"
+    # and the fast path (fit's own tree) still matches a fresh trainer
+    # embedding the same checkpointed values from the host
+    t2 = VAETrainer(make_model(), cfg)
+    from pangaea_tpu.model.train import load_params
+    p2, b2 = load_params(str(tmp_path / "fit" / "train_model.pk"))
+    mu2, _ = t2.dump_latent(ds, str(tmp_path / "c"), p2, b2)
+    np.testing.assert_allclose(mu_fit, mu2, rtol=1e-5, atol=1e-6)

@@ -120,16 +120,18 @@ def test_worker_kill_and_resume(dataset):
         text=True) for i in range(nprocs)]
     # the doomed worker exits 17; the others block in the allreduce (or
     # die on the broken connection) — tear the attempt down like a
-    # supervisor would
-    assert procs[1].wait(timeout=300) == 17
+    # supervisor would. communicate(), not wait(): with PIPEs a worker
+    # that fills the ~64 KB pipe buffer with gRPC/absl logging would
+    # block on write and never exit.
+    procs[1].communicate(timeout=300)
+    assert procs[1].returncode == 17
     for i, p in enumerate(procs):
         if i != 1:
             try:
-                p.wait(timeout=20)
+                p.communicate(timeout=20)
             except subprocess.TimeoutExpired:
                 p.kill()
-                p.wait()
-        p.communicate()
+                p.communicate()
     assert os.path.exists(os.path.join(outdir, "partial1.npy"))
     assert not os.path.exists(os.path.join(outdir, "result0.npz"))
     # attempt 2: full relaunch on a fresh port; every worker finds a
