@@ -352,11 +352,17 @@ def run_driver_ours() -> dict:
 
     work = tempfile.mkdtemp(prefix="bench_driver_")
     one_run(os.path.join(work, "warm"))
-    t_sort, t_steps, split = one_run(os.path.join(work, "timed"))
+    # best of two timed runs: the shared host's co-tenant noise swings
+    # single runs +/-25% at this geometry (PARITY.md); min-of-N is the
+    # standard steady-state estimator and the reference leg gets the
+    # same best-of-2 treatment
+    runs = [one_run(os.path.join(work, f"timed{i}")) for i in (0, 1)]
+    t_sort, t_steps, split = min(runs, key=lambda r: r[0] + r[1])
     shutil.rmtree(work, ignore_errors=True)
     total = t_sort + t_steps
     return {"reads_per_s": ds["n_reads"] / total, "t_sort": t_sort,
-            "t_steps": t_steps, "split": split, "n_reads": ds["n_reads"]}
+            "t_steps": t_steps, "split": split, "n_reads": ds["n_reads"],
+            "runs_total_s": [round(r[0] + r[1], 2) for r in runs]}
 
 
 def _assert_driver_quality(clusters_tsv: str) -> None:
@@ -424,22 +430,34 @@ def run_driver_reference() -> dict:
     ufq = prepare_unsorted()
     work = tempfile.mkdtemp(prefix="bench_driver_ref_")
     home = make_ref_home(work, bin_dir)
-    stubs = os.path.join(work, "stubs")
-    sorted_fq = os.path.join(work, "interleaved.sorted.fastq")
-    t0 = time.time()
-    cmd = (f"awk '{_REF_SORT_AWK}' {ufq} | LANG=C sort -k1,1 | cut -f2- "
-           f"| tr '\\t' '\\n' > {sorted_fq}")
-    subprocess.run(["bash", "-c", cmd], check=True)
-    t_sort = time.time() - t0
-    t_steps = run_reference(home, stubs, sorted_fq,
-                            os.path.join(work, "out"), ds["dump"], K, 8,
-                            os.cpu_count() or 2, steps="1,2,3")
-    tsv = os.path.join(work, "out", "3.clustering", "clusters.tsv")
-    assert os.path.getsize(tsv) > 0
+
+    stubs = os.path.join(work, "stubs")  # populated by make_ref_home
+
+    def one_run(tag):
+        sub = os.path.join(work, tag)
+        os.makedirs(sub, exist_ok=True)
+        sorted_fq = os.path.join(sub, "interleaved.sorted.fastq")
+        t0 = time.time()
+        cmd = (f"awk '{_REF_SORT_AWK}' {ufq} | LANG=C sort -k1,1 "
+               f"| cut -f2- | tr '\\t' '\\n' > {sorted_fq}")
+        subprocess.run(["bash", "-c", cmd], check=True)
+        t_sort = time.time() - t0
+        t_steps = run_reference(home, stubs, sorted_fq,
+                                os.path.join(sub, "out"), ds["dump"], K, 8,
+                                os.cpu_count() or 2, steps="1,2,3")
+        tsv = os.path.join(sub, "out", "3.clustering", "clusters.tsv")
+        assert os.path.getsize(tsv) > 0
+        return t_sort, t_steps
+
+    # best of two runs — the same treatment the TPU driver leg gets
+    # (co-tenant noise on this shared host swings both sides)
+    runs = [one_run(f"r{i}") for i in (0, 1)]
+    t_sort, t_steps = min(runs, key=lambda r: r[0] + r[1])
     total = t_sort + t_steps
     return {"reads_per_s": ds["n_reads"] / total, "t_sort": t_sort,
             "t_steps": t_steps, "n_reads": ds["n_reads"],
-            "threads": os.cpu_count()}
+            "threads": os.cpu_count(),
+            "runs_total_s": [round(r[0] + r[1], 2) for r in runs]}
 
 
 def run_reference_stack() -> dict:
@@ -614,10 +632,10 @@ def main():
         "driver_small_vs_baseline":
             (round(drv_s["reads_per_s"] / drv_ref_s["reads_per_s"], 2)
              if (drv_s and drv_ref_s) else None),
-        "timing_note": ("ours timed on the 2nd run (persistent compile "
-                        "cache warm — per-dataset steady state); "
-                        "reference timed on one cold run (no compile "
-                        "step in its stack)"),
+        "timing_note": ("both sides best-of-2 timed runs (ours after a "
+                        "warm-up run: persistent compile cache = "
+                        "per-dataset steady state; co-tenant noise on "
+                        "this shared host swings single runs +/-25%)"),
         "driver_ref_reads_per_s":
             round(drv_ref["reads_per_s"], 1) if drv_ref else None,
         "e2e_kernel_reads_per_s":
