@@ -356,7 +356,8 @@ def run_driver_ours() -> dict:
     # single runs +/-25% at this geometry (PARITY.md); min-of-N is the
     # standard steady-state estimator and the reference leg gets the
     # same best-of-2 treatment
-    runs = [one_run(os.path.join(work, f"timed{i}")) for i in (0, 1)]
+    n_runs = int(os.environ.get("BENCH_DRIVER_RUNS", 2))
+    runs = [one_run(os.path.join(work, f"timed{i}")) for i in range(n_runs)]
     t_sort, t_steps, split = min(runs, key=lambda r: r[0] + r[1])
     shutil.rmtree(work, ignore_errors=True)
     total = t_sort + t_steps
@@ -449,9 +450,10 @@ def run_driver_reference() -> dict:
         assert os.path.getsize(tsv) > 0
         return t_sort, t_steps
 
-    # best of two runs — the same treatment the TPU driver leg gets
+    # best of N runs — the same treatment the TPU driver leg gets
     # (co-tenant noise on this shared host swings both sides)
-    runs = [one_run(f"r{i}") for i in (0, 1)]
+    n_runs = int(os.environ.get("BENCH_DRIVER_RUNS", 2))
+    runs = [one_run(f"r{i}") for i in range(n_runs)]
     t_sort, t_steps = min(runs, key=lambda r: r[0] + r[1])
     total = t_sort + t_steps
     return {"reads_per_s": ds["n_reads"] / total, "t_sort": t_sort,
@@ -528,6 +530,25 @@ def _spawn(tag: str, flag: str, timeout: int,
 _HEADLINE_BARCODES = int(os.environ.get("BENCH_HEADLINE_BARCODES", 10000))
 
 
+def _calibrate_host() -> float:
+    """Fixed pure-CPU workload (min-of-3 sort of 10M float32): a storm
+    indicator embedded in the artifact. Hypervisor steal on this shared
+    box comes in multi-minute storms that inflate latency-sensitive
+    walls (ours ~3x) far more than throughput-bound ones (reference
+    ~1.2x) — a reading far above _CAL_QUIET_S flags the run."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(10_000_000).astype(np.float32)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.sort(x)
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
+
+
+_CAL_QUIET_S = 0.057  # measured quiet-host floor, 2026-08-22
+
+
 def main():
     if "--prepare" in sys.argv:
         prepare_dataset()
@@ -576,30 +597,49 @@ def main():
     # All measurements run in child processes: a wedged TPU backend
     # (compute RPCs hanging) must not hang the whole bench.
     note = []
+    cal_start = _calibrate_host()
     dev_timeout = int(os.environ.get("BENCH_DEVICE_TIMEOUT", 2400))
     hl_env = {"BENCH_BARCODES": str(_HEADLINE_BARCODES)}
     drv = drv_ref = e2e = comp = ref = None
     drv_s = drv_ref_s = None
-    try:
-        drv = _spawn("DRIVEROURS ", "--driver-ours", 2 * dev_timeout,
-                     env_extra=hl_env)
-    except Exception as e:
-        print(f"driver bench failed: {e}", file=sys.stderr)
-        note.append("tpu_driver_failed")
-    try:
-        drv_ref = _spawn("DRIVERREF ", "--driver-ref", 7200,
-                         env_extra=hl_env)
-    except Exception as e:
-        print(f"driver reference failed: {e}", file=sys.stderr)
-        note.append("driver_ref_failed")
+
+    def driver_pair(env_extra, ref_timeout, fail_note):
+        """INTERLEAVED A/B/A/B sampling of the two driver legs, best-of
+        per side: the host's co-tenant noise drifts on a minutes scale,
+        so back-to-back best-of-2 per leg can still time one side
+        entirely inside a slow window and poison the ratio (a 00:40
+        storm measured ours 1.9x slower but the reference only 1.2x).
+        Each child runs ONE timed run (BENCH_DRIVER_RUNS=1)."""
+        ours, refs = [], []
+        one = dict(env_extra, BENCH_DRIVER_RUNS="1")
+        for i in range(2):
+            try:
+                ours.append(_spawn("DRIVEROURS ", "--driver-ours",
+                                   2 * dev_timeout, env_extra=one))
+            except Exception as e:
+                print(f"driver bench failed: {e}", file=sys.stderr)
+            try:
+                refs.append(_spawn("DRIVERREF ", "--driver-ref",
+                                   ref_timeout, env_extra=one))
+            except Exception as e:
+                print(f"driver reference failed: {e}", file=sys.stderr)
+        best = lambda rs: (max(rs, key=lambda r: r["reads_per_s"])
+                           if rs else None)
+        a, b = best(ours), best(refs)
+        if a:
+            a["samples_reads_per_s"] = [round(r["reads_per_s"], 1)
+                                        for r in ours]
+        if b:
+            b["samples_reads_per_s"] = [round(r["reads_per_s"], 1)
+                                        for r in refs]
+        if not a or not b:
+            note.append(fail_note)
+        return a, b
+
+    drv, drv_ref = driver_pair(hl_env, 7200, "driver_headline_failed")
     # the small-geometry driver pair (the r3/r4 headline point), quoted
     # alongside so the scale trend stays visible
-    try:
-        drv_s = _spawn("DRIVEROURS ", "--driver-ours", 2 * dev_timeout)
-        drv_ref_s = _spawn("DRIVERREF ", "--driver-ref", 3600)
-    except Exception as e:
-        print(f"small-geometry driver pair failed: {e}", file=sys.stderr)
-        note.append("driver_small_failed")
+    drv_s, drv_ref_s = driver_pair({}, 3600, "driver_small_failed")
     try:
         e2e = _spawn("DEVICEE2E ", "--device-e2e", dev_timeout)
     except Exception as e:
@@ -632,10 +672,11 @@ def main():
         "driver_small_vs_baseline":
             (round(drv_s["reads_per_s"] / drv_ref_s["reads_per_s"], 2)
              if (drv_s and drv_ref_s) else None),
-        "timing_note": ("both sides best-of-2 timed runs (ours after a "
-                        "warm-up run: persistent compile cache = "
-                        "per-dataset steady state; co-tenant noise on "
-                        "this shared host swings single runs +/-25%)"),
+        "timing_note": ("driver legs sampled INTERLEAVED A/B/A/B, best "
+                        "of 2 per side (ours after a warm-up run: "
+                        "persistent compile cache = per-dataset steady "
+                        "state); host steal storms swing latency-"
+                        "sensitive walls ~3x — see host_calibration"),
         "driver_ref_reads_per_s":
             round(drv_ref["reads_per_s"], 1) if drv_ref else None,
         "e2e_kernel_reads_per_s":
@@ -659,6 +700,11 @@ def main():
                          "steps; jellyfish global count excluded on both "
                          "sides (not installed; dump precomputed)"),
     }
+    cal_end = _calibrate_host()
+    result["host_calibration"] = {
+        "start_s": round(cal_start, 4), "end_s": round(cal_end, 4),
+        "quiet_s": _CAL_QUIET_S,
+        "slowdown": round(max(cal_start, cal_end) / _CAL_QUIET_S, 2)}
     if note:
         result["note"] = ",".join(note)
     print(json.dumps(result))
