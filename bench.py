@@ -603,7 +603,7 @@ def main():
     drv = drv_ref = e2e = comp = ref = None
     drv_s = drv_ref_s = None
 
-    def driver_pair(env_extra, ref_timeout, fail_note):
+    def driver_pair(env_extra, ref_timeout, fail_note, samples=2):
         """INTERLEAVED A/B/A/B sampling of the two driver legs, best-of
         per side: the host's co-tenant noise drifts on a minutes scale,
         so back-to-back best-of-2 per leg can still time one side
@@ -612,7 +612,7 @@ def main():
         Each child runs ONE timed run (BENCH_DRIVER_RUNS=1)."""
         ours, refs = [], []
         one = dict(env_extra, BENCH_DRIVER_RUNS="1")
-        for i in range(2):
+        for i in range(samples):
             try:
                 ours.append(_spawn("DRIVEROURS ", "--driver-ours",
                                    2 * dev_timeout, env_extra=one))
@@ -636,7 +636,8 @@ def main():
             note.append(fail_note)
         return a, b
 
-    drv, drv_ref = driver_pair(hl_env, 7200, "driver_headline_failed")
+    drv, drv_ref = driver_pair(hl_env, 7200, "driver_headline_failed",
+                               samples=3)
     # the small-geometry driver pair (the r3/r4 headline point), quoted
     # alongside so the scale trend stays visible
     drv_s, drv_ref_s = driver_pair({}, 3600, "driver_small_failed")
